@@ -1,0 +1,231 @@
+"""ConvLSTM — the flagship emulator architecture, built TPU-first.
+
+Re-designs the reference ConvLSTM (model.py:196-274) for XLA/TPU:
+
+  * The Python loop over 48 timesteps x 3 layers (model.py:265-271) becomes a
+    single ``lax.scan`` carrying per-layer (h, c) — one compiled program, no
+    per-step dispatch, O(1) memory in sequence length.
+  * The fused gate conv over concat([x, h]) (model.py:219-220) is expressed
+    as conv(x, Wx) + conv(h, Wh) + b — mathematically identical (the torch
+    kernel split along its input-channel axis) but lets layer 0's
+    input-to-hidden conv be *hoisted out of the scan* and run as one large
+    batched conv over (B*T) frames, which is far more MXU-efficient than 48
+    small convs.
+  * Activations flow NHWC (channels on the TPU lane axis); gate nonlinearity
+    + state update fuse into the conv epilogue under XLA.  A Pallas fused
+    cell kernel is available via ``cell_impl='pallas'``
+    (ops/convlstm_pallas.py).
+
+Numerical contract (verified against a torch oracle in tests/test_convlstm.py):
+  gates order i, f, g, o along channels (torch.split order, model.py:221);
+  c' = c * sigmoid(f) + sigmoid(i) * tanh(g); h' = sigmoid(o) * tanh(c')
+  (model.py:228-229); zero-initialized state (model.py:258-262); 1x1 conv
+  head on the last layer's h at the final step (model.py:251,274); optional
+  per-step head taps (the commented-out ``outputs`` variant used by
+  test.ipynb cell 8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nasa_niswan_tpu.models.init import torch_conv_init
+from nasa_niswan_tpu.ops.conv import conv2d
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvLSTMConfig:
+    in_channels: int = 5
+    hidden_channels: Tuple[int, ...] = (64, 32, 16)
+    kernel_sizes: Tuple[int, ...] = (5, 3, 3)
+    out_channels: int = 1
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-native training/serving
+    cell_impl: str = "xla"  # "xla" | "pallas"
+
+    def __post_init__(self):
+        if len(self.hidden_channels) != len(self.kernel_sizes):
+            raise ValueError("hidden_channels and kernel_sizes must align")
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.hidden_channels)
+
+
+def convlstm_init(rng: jax.Array, config: ConvLSTMConfig) -> Params:
+    """Initialize parameters with torch-default conv init applied to the
+    *combined* [x; h] kernel (matching the reference's single fused conv,
+    model.py:207-211), then split into Wx / Wh halves."""
+    cells: List[Params] = []
+    in_ch = config.in_channels
+    for hidden, k in zip(config.hidden_channels, config.kernel_sizes):
+        rng, cell_rng = jax.random.split(rng)
+        kernel, bias = torch_conv_init(
+            cell_rng, k, k, in_ch + hidden, 4 * hidden, bias=True
+        )
+        cells.append(
+            {"w_x": kernel[:, :, :in_ch, :], "w_h": kernel[:, :, in_ch:, :], "b": bias}
+        )
+        in_ch = hidden
+    rng, head_rng = jax.random.split(rng)
+    head_w, head_b = torch_conv_init(
+        head_rng, 1, 1, config.hidden_channels[-1], config.out_channels, bias=True
+    )
+    return {"cells": cells, "head": {"w": head_w, "b": head_b}}
+
+
+def gate_update(
+    gates: jnp.ndarray, c: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """LSTM state update from pre-activation gates (channel blocks i,f,g,o).
+
+    Shared by the XLA path, the Pallas kernel's reference semantics, and the
+    spatially-sharded cell in parallel/spatial.py.
+    """
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = c * jax.nn.sigmoid(f) + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def _cell_step_xla(
+    cell: Params,
+    x: jnp.ndarray,
+    h: jnp.ndarray,
+    c: jnp.ndarray,
+    k: int,
+    compute_dtype,
+    x_already_conved: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    pad = k // 2
+    wh = cell["w_h"].astype(compute_dtype)
+    gates = conv2d(h.astype(compute_dtype), wh, padding=pad)
+    if x_already_conved:
+        gates = gates + x
+    else:
+        wx = cell["w_x"].astype(compute_dtype)
+        gates = gates + conv2d(x.astype(compute_dtype), wx, padding=pad)
+    gates = gates + cell["b"]
+    return gate_update(gates, c)
+
+
+def convlstm_apply(
+    params: Params,
+    x: jnp.ndarray,
+    config: ConvLSTMConfig,
+    *,
+    return_per_step: bool = False,
+    precompute_input_conv: bool = False,
+    initial_state: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+    return_state: bool = False,
+):
+    """Run the ConvLSTM over a sequence.
+
+    Args:
+      x: (B, T, H, W, C) NHWC sequence (use ``nchw_to_nhwc_seq`` to convert
+        reference-layout (B, T, C, H, W) batches).
+      return_per_step: also return the 1-channel head applied to every
+        timestep's last-layer h — the reference's per-step taps
+        (model.py:264,272; test.ipynb cell 8's ``hs``), shape (B, T, H, W, 1).
+      precompute_input_conv: hoist layer 0's input conv out of the scan as
+        one (B*T)-batched conv.  Faster on TPU when activation memory allows
+        (costs an extra (B, T, H, W, 4*hidden0) buffer).
+      initial_state: optional per-layer (h, c) carry — used by the
+        autoregressive rollout to continue a sequence; defaults to zeros
+        (model.py:258-262).
+      return_state: also return the final per-layer (h, c) carry.
+
+    Returns:
+      pred (B, H, W, out_channels), optionally per-step taps and final state.
+    """
+    if config.cell_impl == "pallas":
+        from nasa_niswan_tpu.ops.convlstm_pallas import cell_step_pallas
+
+        cell_step = lambda cell, xt, h, c, k, dt, pre=False: cell_step_pallas(
+            cell, xt, h, c, k, dt, x_already_conved=pre
+        )
+    else:
+        cell_step = _cell_step_xla
+
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    B, T, H, W, _ = x.shape
+    n_layers = config.num_layers
+
+    if initial_state is None:
+        state = [
+            (
+                jnp.zeros((B, H, W, hc), jnp.float32),
+                jnp.zeros((B, H, W, hc), jnp.float32),
+            )
+            for hc in config.hidden_channels
+        ]
+    else:
+        state = [tuple(s) for s in initial_state]
+
+    xs = jnp.moveaxis(x, 1, 0)  # time-major (T, B, H, W, C)
+
+    if precompute_input_conv:
+        k0 = config.kernel_sizes[0]
+        wx0 = params["cells"][0]["w_x"].astype(compute_dtype)
+        flat = xs.reshape(T * B, H, W, x.shape[-1]).astype(compute_dtype)
+        xs = conv2d(flat, wx0, padding=k0 // 2).reshape(T, B, H, W, -1)
+
+    def step(carry, x_t):
+        new_carry = []
+        inp = x_t
+        for li in range(n_layers):
+            h, c = carry[li]
+            h, c = cell_step(
+                params["cells"][li],
+                inp,
+                h,
+                c,
+                config.kernel_sizes[li],
+                compute_dtype,
+                precompute_input_conv and li == 0,
+            )
+            new_carry.append((h, c))
+            inp = h
+        if return_per_step:
+            tap = conv2d(
+                inp.astype(compute_dtype),
+                params["head"]["w"].astype(compute_dtype),
+                params["head"]["b"],
+            ).astype(jnp.float32)
+        else:
+            tap = None
+        return new_carry, tap
+
+    final_state, taps = jax.lax.scan(step, state, xs)
+    h_last = final_state[-1][0]
+    pred = conv2d(
+        h_last.astype(compute_dtype),
+        params["head"]["w"].astype(compute_dtype),
+        params["head"]["b"],
+    ).astype(jnp.float32)
+
+    out = [pred]
+    if return_per_step:
+        out.append(jnp.moveaxis(taps, 0, 1))  # (B, T, H, W, out)
+    if return_state:
+        out.append(final_state)
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def convlstm_param_count(params: Params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def nchw_to_nhwc_seq(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, C, H, W) reference layout -> (B, T, H, W, C) TPU layout."""
+    return jnp.moveaxis(x, 2, -1)
+
+
+def nhwc_to_nchw(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, C) -> (..., C, H, W)."""
+    return jnp.moveaxis(x, -1, -3)

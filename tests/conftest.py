@@ -3,17 +3,26 @@
 Real multi-chip TPU hardware is not available in CI; all sharding/collective
 code is validated on XLA's host-platform device simulation, which compiles
 and executes the same SPMD programs.
+
+Note: the TPU environment may pre-register an accelerator PJRT plugin at
+interpreter startup (ignoring JAX_PLATFORMS env set later), so we override
+the platform through jax.config before any backend initializes.
 """
 
 import os
 
 # Must be set before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
+assert jax.device_count() == 8
 
 import numpy as np
 import pytest
