@@ -174,9 +174,13 @@ class SequenceDataset:
         return np.concatenate([x, tiled], axis=1)
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw mode (default) serves the 5 dynamic channels only — static
+        channels are appended on device by the jitted preprocess (they are
+        compile-time constants there).  Host-preprocessed mode reproduces the
+        full reference sample: normalize + static + pad."""
         x, y = self.raw_item(idx)
         if not self.host_preprocessed:
-            return self.with_static(x), y
+            return x, y
         x = self.normalizer.normalize_x(x)
         y = self.normalizer.normalize_y(y)
         x = self.with_static(x.astype(np.float32))

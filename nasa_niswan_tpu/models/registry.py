@@ -62,6 +62,7 @@ def build_model(
     compute_dtype: str = "float32",
     cell_impl: str = "xla",
     precompute_input_conv: bool = False,
+    unet_features: Tuple[int, ...] = (64, 128, 256, 512),
 ) -> ModelBundle:
     family = model_family(model_name)
 
@@ -89,7 +90,7 @@ def build_model(
         return ModelBundle("LSTM", cfg, True, init, apply)
 
     if family == "UNet":
-        cfg = UNetConfig(in_channels=in_channels)
+        cfg = UNetConfig(in_channels=in_channels, features=tuple(unet_features))
 
         def init(rng):
             return unet_init(rng, cfg)

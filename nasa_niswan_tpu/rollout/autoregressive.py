@@ -1,0 +1,181 @@
+"""Compiled autoregressive rollout — the serving mode and the north-star
+benchmark path.
+
+The reference's inference loop (test.ipynb cell 8) streams the test set
+batch-by-batch through Python with a device->host sync every step, feeding
+the previous prediction back into the input's concentration channel for the
+6-channel models.  Here the whole rollout is ONE jitted ``lax.scan``:
+
+  * recurrent (ConvLSTM) models carry their per-layer (h, c) state across
+    the scan — each scan step consumes one new frame of forcings and emits
+    one prediction, with NO re-processing of a sliding window (the reference
+    re-runs all 48 window steps per prediction; carrying state makes each
+    emitted step ~48x cheaper, which is where the throughput target lives);
+  * feedback models (UNet-6ch) get the previous prediction written into
+    their feedback channel on device (cell 8's ``X[:, -1] = pred``);
+  * normalization, padding, crop, and un-normalization all live inside the
+    scan body, so forcings stream in raw and predictions come out in
+    physical units with no host round-trips.
+
+Teacher forcing / scheduled sampling for multi-step seq2seq training
+(BASELINE config #3) reuses the same scan body with a per-step mixing
+decision.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
+from nasa_niswan_tpu.data.dataset import Normalizer, zscore_static
+from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, convlstm_apply
+
+
+def _prep_frame(x, normalizer, static, padded_shape):
+    """One raw forcing frame (B, C, H, W) -> padded NHWC."""
+    x_mean = jnp.asarray(normalizer.x_mean).reshape(-1, 1, 1)
+    x_std = jnp.asarray(normalizer.x_std).reshape(-1, 1, 1)
+    x = (x - x_mean) / x_std
+    if static is not None:
+        st = jnp.asarray(static)
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(st, x.shape[:-3] + st.shape)], axis=-3
+        )
+    if padded_shape is not None:
+        x = pad_geo(x, padded_shape)
+    return jnp.moveaxis(x, -3, -1)
+
+
+def make_rollout_fn(
+    config: ConvLSTMConfig,
+    normalizer: Normalizer,
+    *,
+    padded_shape: Tuple[int, int] = (100, 154),
+    grid_shape: Tuple[int, int] = (90, 144),
+    static: Optional[np.ndarray] = None,
+    collect_taps: bool = False,
+    unnormalize: bool = True,
+) -> Callable:
+    """Compiled state-carrying rollout for the ConvLSTM emulator.
+
+    Returns ``rollout(params, forcings, initial_state=None)`` where
+    ``forcings`` is raw (B, T, C, H, W); the result is (B, T, H, W)
+    predictions (physical units when ``unnormalize``) plus the final carry,
+    suitable for chunked decadal runs: feed the next forcing chunk with the
+    returned state.
+    """
+    static_z = None if static is None else zscore_static(static)
+
+    @jax.jit
+    def rollout(params, forcings, initial_state=None):
+        B, T = forcings.shape[:2]
+        H, W = padded_shape
+        if initial_state is None:
+            initial_state = [
+                (
+                    jnp.zeros((B, H, W, hc), jnp.float32),
+                    jnp.zeros((B, H, W, hc), jnp.float32),
+                )
+                for hc in config.hidden_channels
+            ]
+        xs = jnp.moveaxis(forcings, 1, 0)  # (T, B, C, H, W)
+
+        def step(carry, x_t):
+            x_nhwc = _prep_frame(x_t, normalizer, static_z, padded_shape)
+            pred, state = convlstm_apply(
+                params,
+                x_nhwc[:, None],  # single-frame sequence
+                config,
+                initial_state=carry,
+                return_state=True,
+            )
+            out = crop_to_grid(pred[..., 0], grid_shape)
+            if unnormalize:
+                out = normalizer.unnormalize_y(out)
+            return state, out
+
+        final_state, preds = jax.lax.scan(step, initial_state, xs)
+        return jnp.moveaxis(preds, 0, 1), final_state
+
+    return rollout
+
+
+def make_feedback_rollout_fn(
+    apply_fn: Callable,
+    normalizer: Normalizer,
+    *,
+    padded_shape: Tuple[int, int] = (256, 256),
+    grid_shape: Tuple[int, int] = (90, 144),
+) -> Callable:
+    """Closed-loop rollout for feedback models (UNet-6ch, test.ipynb cell 8):
+    channel 5 of each step's input is replaced by the previous *prediction*
+    (normalized), starting from the dataset-provided first frame.
+
+    ``apply_fn(params, x_nhwc) -> (B, H, W, 1)``; forcings raw (B, T, 6, H, W)
+    where channel 5 holds the ground-truth previous concentration (used only
+    at t=0, mirroring ``counter != 1`` in cell 8).
+    """
+
+    @jax.jit
+    def rollout(params, forcings):
+        xs = jnp.moveaxis(forcings, 1, 0)
+        y_mean, y_std = normalizer.y_mean, normalizer.y_std
+
+        def step(prev_pred_norm, x_t):
+            is_first = jnp.all(jnp.isnan(prev_pred_norm))
+            feedback = jnp.where(
+                is_first,
+                x_t[:, 5],
+                prev_pred_norm * y_std + y_mean,  # back to raw units
+            )
+            x_t = x_t.at[:, 5].set(feedback)
+            x_nhwc = _prep_frame(x_t, normalizer, None, padded_shape)
+            pred = apply_fn(params, x_nhwc)
+            pred = crop_to_grid(pred[..., 0], grid_shape)
+            return pred, pred * y_std + y_mean
+
+        init = jnp.full((forcings.shape[0], *grid_shape), jnp.nan, jnp.float32)
+        _, preds = jax.lax.scan(step, init, xs)
+        return jnp.moveaxis(preds, 0, 1)
+
+    return rollout
+
+
+def make_streaming_rollout(
+    config: ConvLSTMConfig,
+    normalizer: Normalizer,
+    params,
+    *,
+    padded_shape: Tuple[int, int] = (100, 154),
+    grid_shape: Tuple[int, int] = (90, 144),
+    static: Optional[np.ndarray] = None,
+    batch: int = 1,
+):
+    """Stateful convenience wrapper for in-line serving inside a host model
+    (ModelE surrogate mode): call ``step(forcing_frame)`` once per model
+    timestep; state stays on device between calls."""
+    rollout = make_rollout_fn(
+        config, normalizer, padded_shape=padded_shape, grid_shape=grid_shape,
+        static=static,
+    )
+    state = {"carry": None}
+
+    def step(frame: np.ndarray) -> jax.Array:
+        preds, state["carry"] = rollout(
+            params, jnp.asarray(frame)[:, None], state["carry"]
+        )
+        return preds[:, 0]
+
+    return step
+
+
+def model_days_per_min(
+    n_steps: int, elapsed_s: float, *, steps_per_day: int = 48, batch: int = 1
+) -> float:
+    """The north-star throughput metric: emulated model-days per minute."""
+    days = batch * n_steps / steps_per_day
+    return days / (elapsed_s / 60.0)

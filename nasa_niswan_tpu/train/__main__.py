@@ -1,0 +1,96 @@
+"""Training entry point: ``python -m nasa_niswan_tpu.train [flags]``.
+
+Mirrors the reference CLI (train.py:230-235, launcher.sh) — writes
+``configurations.json`` and ``logger.log`` to the snapshot dir, trains, and
+checkpoints in ``epoch-NNN`` directories.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from nasa_niswan_tpu.data.dataset import SequenceDataset, SingleStepDataset
+from nasa_niswan_tpu.data.synthetic import synthetic_e33oma_90d
+from nasa_niswan_tpu.models.registry import build_model
+from nasa_niswan_tpu.train.checkpoint import load_checkpoint
+from nasa_niswan_tpu.train.config import TrainConfig, parse_args
+from nasa_niswan_tpu.train.loop import fit, make_optimizer
+from nasa_niswan_tpu.utils.logging import LoggerDecorator
+
+
+def load_data(config: TrainConfig) -> dict:
+    if config.data_path:
+        with np.load(config.data_path) as f:
+            return dict(f)
+    return synthetic_e33oma_90d(
+        species=config.species, T=config.synthetic_steps, nlev=config.levels,
+        seed=config.seed,
+    )
+
+
+def build_datasets(config: TrainConfig, bundle, data):
+    kw = dict(species=config.species, in_channels=config.in_channels)
+    if bundle.is_sequence:
+        mk = lambda period: SequenceDataset(
+            data, period=period, sequence_length=config.sequence_length, **kw
+        )
+    else:
+        mk = lambda period: SingleStepDataset(
+            data, period=period, transform=config.transform, **kw
+        )
+    return mk("train"), mk("val")
+
+
+def main(config: TrainConfig):
+    print(f"{config.model} deployed on {jax.devices()[0].device_kind}")
+    data = load_data(config)
+    bundle = build_model(
+        config.model,
+        in_channels=config.in_channels,
+        hidden_channels=config.hidden_channels,
+        kernel_sizes=config.kernel_size,
+        compute_dtype=config.compute_dtype,
+        cell_impl=config.cell_impl,
+        precompute_input_conv=config.precompute_input_conv,
+    )
+    train_ds, val_ds = build_datasets(config, bundle, data)
+    n_static = config.in_channels - 5
+    static = data["static"][:n_static] if n_static > 0 else None
+
+    init_params = init_state = init_opt_state = None
+    if config.use_checkpoint:
+        rng = jax.random.PRNGKey(config.seed)
+        tmpl_params, tmpl_state = bundle.init(rng)
+        tmpl_opt = make_optimizer(config.learning_rate, tuple(config.betas)).init(
+            tmpl_params
+        )
+        init_params, init_opt_state, meta = load_checkpoint(
+            config.restore_from, tmpl_params, tmpl_opt, lr=config.learning_rate
+        )
+        init_state = tmpl_state
+        print("Number of Epochs:", meta.get("epoch"))
+        print("Learning Rate:", meta.get("learning_rate"))
+
+    if config.dp_devices > 1:
+        from nasa_niswan_tpu.parallel.dp import fit_data_parallel
+
+        return fit_data_parallel(
+            bundle, train_ds, val_ds, config, static=static,
+            init_params=init_params, init_state=init_state,
+        )
+    return fit(
+        bundle, train_ds, val_ds, config, static=static,
+        init_params=init_params, init_state=init_state,
+        init_opt_state=init_opt_state,
+    )
+
+
+if __name__ == "__main__":
+    cfg = parse_args()
+    cfg.dump()
+    print("Working Directory:", cfg.snapshot_dir)
+    wrapped = LoggerDecorator(os.path.join(cfg.snapshot_dir, "logger.log"))(main)
+    wrapped(cfg)

@@ -1,0 +1,133 @@
+"""Run configuration: typed dataclass + CLI + configurations.json contract.
+
+The reference serializes its argparse namespace to
+``<snapshot_dir>/configurations.json`` (train.py:220-225), and the evaluation
+notebook reloads that file to reconstruct the exact model/dataset
+(test.ipynb cell 3) — so the JSON key set below preserves the reference's
+keys verbatim.  TPU-specific settings are additional keys (old configs load
+fine; unknown keys are ignored on read).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # --- reference keys (train.py:148-208), defaults from launcher.sh ---
+    model: str = "LSTM-64K5.32K3.16K3"
+    species: str = "bcb"
+    learning_rate: float = 1.0e-3
+    dataset: str = "E33OMA90D"
+    in_channels: int = 5
+    hidden_channels: Tuple[int, ...] = (64, 32, 16)
+    kernel_size: Tuple[int, ...] = (5, 3, 3)
+    num_layers: int = 3
+    sequence_length: int = 48
+    transform: bool = False
+    num_epochs: int = 30
+    input_size: Tuple[int, int] = (100, 154)
+    batch_size: int = 8
+    num_workers: int = 1
+    scheduler_config: Tuple[float, float] = (10, 0.9)
+    betas: Tuple[float, float] = (0.5, 0.999)
+    use_checkpoint: bool = False
+    snapshot_dir: str = "./snapshots"
+    restore_from: str = "./snapshots"
+    # --- TPU-native settings ---
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-native training
+    cell_impl: str = "xla"  # "xla" | "pallas"
+    precompute_input_conv: bool = False
+    seed: int = 0
+    data_path: Optional[str] = None  # packed npz; None -> synthetic fixture
+    synthetic_steps: int = 480  # fixture length when data_path is None
+    dp_devices: int = 1  # data-parallel mesh size (parallel/dp.py)
+    checkpoint_every: int = 10  # reference: every 10 epochs (train.py:126)
+    levels: int = 1  # vertical levels (20 for the 3-D fusion config)
+
+    def __post_init__(self):
+        if len(self.hidden_channels) != self.num_layers:
+            raise ValueError(
+                "The length of hidden_channels must be equal to num_layers."
+            )
+
+    @property
+    def family(self) -> str:
+        from nasa_niswan_tpu.models.registry import model_family
+
+        return model_family(self.model)
+
+    def to_json_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        for k in ("hidden_channels", "kernel_size", "input_size", "scheduler_config",
+                  "betas"):
+            d[k] = list(d[k])
+        return d
+
+    def dump(self, snapshot_dir: Optional[str] = None) -> str:
+        """Write configurations.json (the training<->evaluation contract)."""
+        snapshot_dir = snapshot_dir or self.snapshot_dir
+        os.makedirs(snapshot_dir, exist_ok=True)
+        path = os.path.join(snapshot_dir, "configurations.json")
+        with open(path, "w") as f:
+            json.dump(self.to_json_dict(), f, indent=4)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "TrainConfig":
+        """Read a configurations.json (ours or a reference-produced one)."""
+        with open(path) as f:
+            raw = json.load(f)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in raw.items() if k in fields}
+        for k in ("hidden_channels", "kernel_size", "input_size",
+                  "scheduler_config", "betas"):
+            if k in kwargs:
+                kwargs[k] = tuple(kwargs[k])
+        return cls(**kwargs)
+
+
+def parse_args(argv=None) -> TrainConfig:
+    """CLI mirroring the reference's flags (train.py:148-208) plus TPU ones."""
+    import argparse
+
+    d = TrainConfig.__dataclass_fields__
+    p = argparse.ArgumentParser(description="Train a Smart NINT emulator on TPU.")
+    p.add_argument("--model", type=str, default=d["model"].default)
+    p.add_argument("--species", type=str, default=d["species"].default)
+    p.add_argument("--learning-rate", type=float, default=d["learning_rate"].default)
+    p.add_argument("--dataset", type=str, default=d["dataset"].default)
+    p.add_argument("--in-channels", type=int, default=d["in_channels"].default)
+    p.add_argument("--hidden-channels", nargs="+", type=int, default=(64, 32, 16))
+    p.add_argument("--kernel-size", nargs="+", type=int, default=(5, 3, 3))
+    p.add_argument("--num-layers", type=int, default=d["num_layers"].default)
+    p.add_argument("--sequence-length", type=int, default=d["sequence_length"].default)
+    p.add_argument("--transform", action="store_true")
+    p.add_argument("--num-epochs", type=int, default=d["num_epochs"].default)
+    p.add_argument("--input-size", nargs=2, type=int, default=(100, 154))
+    p.add_argument("--batch-size", type=int, default=d["batch_size"].default)
+    p.add_argument("--num-workers", type=int, default=d["num_workers"].default)
+    p.add_argument("--scheduler-config", nargs=2, type=float, default=(10, 0.9))
+    p.add_argument("--betas", nargs=2, type=float, default=(0.5, 0.999))
+    p.add_argument("--use-checkpoint", action="store_true")
+    p.add_argument("--snapshot-dir", type=str, default=d["snapshot_dir"].default)
+    p.add_argument("--restore-from", type=str, default=d["restore_from"].default)
+    p.add_argument("--compute-dtype", type=str, default=d["compute_dtype"].default)
+    p.add_argument("--cell-impl", type=str, default=d["cell_impl"].default)
+    p.add_argument("--precompute-input-conv", action="store_true")
+    p.add_argument("--seed", type=int, default=d["seed"].default)
+    p.add_argument("--data-path", type=str, default=None)
+    p.add_argument("--synthetic-steps", type=int, default=d["synthetic_steps"].default)
+    p.add_argument("--dp-devices", type=int, default=d["dp_devices"].default)
+    p.add_argument("--checkpoint-every", type=int, default=d["checkpoint_every"].default)
+    p.add_argument("--levels", type=int, default=d["levels"].default)
+    ns = p.parse_args(argv)
+    kwargs = {k.replace("-", "_"): v for k, v in vars(ns).items()}
+    for k in ("hidden_channels", "kernel_size", "input_size", "scheduler_config",
+              "betas"):
+        kwargs[k] = tuple(kwargs[k])
+    return TrainConfig(**kwargs)

@@ -1,0 +1,254 @@
+"""Training loop: jitted train/eval steps + epoch driver.
+
+Re-designs train.py:23-145 for TPU:
+  * ONE jitted ``train_step`` holds the whole per-batch pipeline —
+    device-side normalization/padding (stats as XLA constants), forward,
+    crop-to-grid, MSE+L1 loss (train.py:74-75,105), adam update, and batch
+    R^2 — with buffer donation, so nothing round-trips to the host per batch
+    (the reference syncs every batch for its sklearn r2 at train.py:114).
+  * StepLR is applied by updating the injected lr hyperparameter once per
+    epoch (train.py:72,120 semantics; see schedule.step_lr).
+  * Epoch metrics accumulate as device scalars; a single host sync happens
+    at the epoch print.
+  * Checkpoints every ``checkpoint_every`` epochs in the reference's
+    ``epoch-NNN`` layout (train.py:126-136), final ``logger.npy`` with the
+    reference's 3-array format (train.py:138-142).
+
+Data parallelism over a device mesh is layered on in parallel/dp.py; this
+module is the single-device core it wraps.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
+from nasa_niswan_tpu.data.dataset import Normalizer, zscore_static
+from nasa_niswan_tpu.data.pipeline import batch_iterator, device_prefetch
+from nasa_niswan_tpu.evalx.metrics import r2
+from nasa_niswan_tpu.models.registry import ModelBundle
+from nasa_niswan_tpu.train.checkpoint import save_checkpoint
+from nasa_niswan_tpu.train.schedule import step_lr
+
+
+def make_optimizer(learning_rate: float, betas: Tuple[float, float]):
+    """Adam with the reference's betas (train.py:71), lr injectable per epoch."""
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=learning_rate, b1=betas[0], b2=betas[1]
+    )
+
+
+def set_learning_rate(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state
+
+
+def _device_preprocess(
+    x, y, normalizer: Normalizer, padded_shape, static: Optional[np.ndarray]
+):
+    """Raw (B,[T,]C,H,W) + (B,H,W) -> normalized padded NHWC + normalized y."""
+    x_mean = jnp.asarray(normalizer.x_mean).reshape(-1, 1, 1)
+    x_std = jnp.asarray(normalizer.x_std).reshape(-1, 1, 1)
+    x = (x - x_mean) / x_std
+    if static is not None:
+        st = jnp.asarray(static)
+        reps = x.shape[:-3] + st.shape
+        x = jnp.concatenate([x, jnp.broadcast_to(st, reps)], axis=-3)
+    if padded_shape is not None:
+        x = pad_geo(x, padded_shape)
+    x = jnp.moveaxis(x, -3, -1)
+    y = (y - normalizer.y_mean) / normalizer.y_std
+    return x, y
+
+
+def _forward_cropped(bundle: ModelBundle, params, state, x, grid_shape, *, training, rng):
+    pred, new_state = bundle.apply(params, state, x, training=training, rng=rng)
+    pred = crop_to_grid(pred[..., 0], grid_shape)  # (B, H, W)
+    return pred, new_state
+
+
+def make_train_step(
+    bundle: ModelBundle,
+    normalizer: Normalizer,
+    optimizer,
+    *,
+    padded_shape: Optional[Tuple[int, int]],
+    grid_shape: Tuple[int, int] = (90, 144),
+    static: Optional[np.ndarray] = None,
+) -> Callable:
+    """Build the jitted (params, state, opt_state, x, y, rng) -> updated
+    triple + {loss, r2} step."""
+    static_z = None if static is None else zscore_static(static)
+
+    def loss_fn(params, state, x, y, rng):
+        pred, new_state = _forward_cropped(
+            bundle, params, state, x, grid_shape, training=True, rng=rng
+        )
+        # MSE + L1 (train.py:74-75,105)
+        loss = jnp.mean((y - pred) ** 2) + jnp.mean(jnp.abs(y - pred))
+        return loss, (pred, new_state)
+
+    @jax.jit
+    def train_step(params, state, opt_state, x_raw, y_raw, rng):
+        x, y = _device_preprocess(x_raw, y_raw, normalizer, padded_shape, static_z)
+        (loss, (pred, new_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, x, y, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss, "r2": r2(y, pred)}
+        return params, new_state, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    bundle: ModelBundle,
+    normalizer: Normalizer,
+    *,
+    padded_shape: Optional[Tuple[int, int]],
+    grid_shape: Tuple[int, int] = (90, 144),
+    static: Optional[np.ndarray] = None,
+    unnormalize: bool = False,
+) -> Callable:
+    """Jitted eval step returning per-sample R^2 (val_loop parity: the
+    reference evaluates bs=1 and averages per-sample scores, utils.py:52-75)
+    plus predictions (normalized, or physical units when ``unnormalize``)."""
+    static_z = None if static is None else zscore_static(static)
+
+    @jax.jit
+    def eval_step(params, state, x_raw, y_raw):
+        x, y = _device_preprocess(x_raw, y_raw, normalizer, padded_shape, static_z)
+        pred, _ = _forward_cropped(
+            bundle, params, state, x, grid_shape, training=False, rng=None
+        )
+        flat_p = pred.reshape(pred.shape[0], -1)
+        flat_y = y.reshape(y.shape[0], -1)
+        ss_res = jnp.sum((flat_y - flat_p) ** 2, axis=1)
+        ss_tot = jnp.sum(
+            (flat_y - jnp.mean(flat_y, axis=1, keepdims=True)) ** 2, axis=1
+        )
+        per_sample_r2 = 1.0 - ss_res / ss_tot
+        if unnormalize:
+            pred = normalizer.unnormalize_y(pred)
+        return per_sample_r2, pred
+
+    return eval_step
+
+
+def fit(
+    bundle: ModelBundle,
+    train_dataset,
+    val_dataset,
+    config,
+    *,
+    normalizer: Optional[Normalizer] = None,
+    static: Optional[np.ndarray] = None,
+    init_params=None,
+    init_state=None,
+    init_opt_state=None,
+    start_epoch: int = 1,
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """Epoch driver with reference logging/checkpoint parity.
+
+    Returns {params, state, opt_state, logger} where logger holds the three
+    reference metric arrays (MSELoss, r2_score, r2_score_val).
+    """
+    since = time.time()
+    normalizer = normalizer or train_dataset.normalizer
+    rng = jax.random.PRNGKey(config.seed)
+    padded = tuple(config.input_size) if config.input_size else None
+    grid_shape = tuple(train_dataset[0][1].shape[-2:])  # physical (lat, lon)
+
+    if init_params is None:
+        rng, init_rng = jax.random.split(rng)
+        params, state = bundle.init(init_rng)
+    else:
+        params, state = init_params, init_state
+
+    optimizer = make_optimizer(config.learning_rate, tuple(config.betas))
+    opt_state = init_opt_state if init_opt_state is not None else optimizer.init(params)
+
+    train_step = make_train_step(
+        bundle, normalizer, optimizer, padded_shape=padded, grid_shape=grid_shape,
+        static=static,
+    )
+    eval_step = make_eval_step(
+        bundle, normalizer, padded_shape=padded, grid_shape=grid_shape, static=static
+    )
+
+    logger = {"MSELoss": [], "r2_score": [], "r2_score_val": []}
+    step_size, gamma = config.scheduler_config
+
+    for epoch in range(start_epoch, config.num_epochs + 1):
+        opt_state = set_learning_rate(
+            opt_state, step_lr(config.learning_rate, step_size, gamma, epoch - 1)
+        )
+        losses, r2s = [], []
+        batches = device_prefetch(
+            batch_iterator(
+                train_dataset, config.batch_size, shuffle=True,
+                seed=config.seed, epoch=epoch,
+            )
+        )
+        for x_raw, y_raw in batches:
+            rng, step_rng = jax.random.split(rng)
+            params, state, opt_state, metrics = train_step(
+                params, state, opt_state, x_raw, y_raw, step_rng
+            )
+            losses.append(metrics["loss"])
+            r2s.append(metrics["r2"])
+
+        val_scores = []
+        for x_raw, y_raw in device_prefetch(
+            batch_iterator(val_dataset, config.batch_size, shuffle=False,
+                           drop_last=False)
+        ):
+            per_sample, _ = eval_step(params, state, x_raw, y_raw)
+            val_scores.append(per_sample)
+
+        logger["MSELoss"].append(float(jnp.mean(jnp.stack(losses))))
+        logger["r2_score"].append(float(jnp.mean(jnp.stack(r2s))))
+        logger["r2_score_val"].append(float(jnp.mean(jnp.concatenate(val_scores))))
+        if verbose:
+            print(
+                f"Epoch: {epoch}, Loss: {logger['MSELoss'][-1]:.5f}, "
+                f"R2T: {logger['r2_score'][-1]:.5f}, "
+                f"R2V: {logger['r2_score_val'][-1]:.5f}"
+            )
+
+        if config.checkpoint_every and epoch % config.checkpoint_every == 0:
+            lr_now = step_lr(config.learning_rate, step_size, gamma, epoch - 1)
+            ckpt_dir = os.path.join(config.snapshot_dir, f"epoch-{epoch:03d}")
+            save_checkpoint(
+                ckpt_dir, params, opt_state, learning_rate=lr_now, epoch=epoch
+            )
+            if verbose:
+                print("Learning Rate:", [lr_now])
+
+    # reference logger.npy: three consecutive np.save's in one file
+    # (train.py:138-142)
+    os.makedirs(config.snapshot_dir, exist_ok=True)
+    with open(os.path.join(config.snapshot_dir, "logger.npy"), "wb") as f:
+        np.save(f, np.array(logger["MSELoss"]))
+        np.save(f, np.array(logger["r2_score"]))
+        np.save(f, np.array(logger["r2_score_val"]))
+
+    elapsed = time.time() - since
+    if verbose:
+        print(f"Training complete in {elapsed // 60:.0f}m {elapsed % 60:.0f}s")
+    return {
+        "params": params,
+        "state": state,
+        "opt_state": opt_state,
+        "logger": logger,
+        "elapsed_s": elapsed,
+    }

@@ -1,0 +1,2 @@
+from nasa_niswan_tpu.utils.logging import LoggerDecorator, run_logger
+from nasa_niswan_tpu.utils.seeding import seed_rng

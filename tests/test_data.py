@@ -72,7 +72,10 @@ def test_sequence_dataset_target_alignment(data):
 
 
 def test_sequence_dataset_static_channels(data):
-    ds = SequenceDataset(data, period="train", sequence_length=4, in_channels=8)
+    ds = SequenceDataset(
+        data, period="train", sequence_length=4, in_channels=8,
+        host_preprocessed=True,
+    )
     x, _ = ds[0]
     assert x.shape == (4, 8, 90, 144)
     # static channels are z-scored over the grid and identical across time
