@@ -74,7 +74,7 @@ def _forward_cropped(bundle: ModelBundle, params, state, x, grid_shape, *, train
     return pred, new_state
 
 
-def make_train_step(
+def build_train_step_fn(
     bundle: ModelBundle,
     normalizer: Normalizer,
     optimizer,
@@ -83,8 +83,9 @@ def make_train_step(
     grid_shape: Tuple[int, int] = (90, 144),
     static: Optional[np.ndarray] = None,
 ) -> Callable:
-    """Build the jitted (params, state, opt_state, x, y, rng) -> updated
-    triple + {loss, r2} step."""
+    """Un-jitted (params, state, opt_state, x_raw, y_raw, rng) step body —
+    jitted single-device by make_train_step, or pjit-ed over a mesh by
+    parallel/dp.py and parallel/spatial.py."""
     static_z = None if static is None else zscore_static(static)
 
     def loss_fn(params, state, x, y, rng):
@@ -95,7 +96,6 @@ def make_train_step(
         loss = jnp.mean((y - pred) ** 2) + jnp.mean(jnp.abs(y - pred))
         return loss, (pred, new_state)
 
-    @jax.jit
     def train_step(params, state, opt_state, x_raw, y_raw, rng):
         x, y = _device_preprocess(x_raw, y_raw, normalizer, padded_shape, static_z)
         (loss, (pred, new_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -109,7 +109,25 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(
+def make_train_step(
+    bundle: ModelBundle,
+    normalizer: Normalizer,
+    optimizer,
+    *,
+    padded_shape: Optional[Tuple[int, int]],
+    grid_shape: Tuple[int, int] = (90, 144),
+    static: Optional[np.ndarray] = None,
+) -> Callable:
+    """Single-device jitted train step."""
+    return jax.jit(
+        build_train_step_fn(
+            bundle, normalizer, optimizer, padded_shape=padded_shape,
+            grid_shape=grid_shape, static=static,
+        )
+    )
+
+
+def build_eval_step_fn(
     bundle: ModelBundle,
     normalizer: Normalizer,
     *,
@@ -118,12 +136,11 @@ def make_eval_step(
     static: Optional[np.ndarray] = None,
     unnormalize: bool = False,
 ) -> Callable:
-    """Jitted eval step returning per-sample R^2 (val_loop parity: the
+    """Un-jitted eval step returning per-sample R^2 (val_loop parity: the
     reference evaluates bs=1 and averages per-sample scores, utils.py:52-75)
     plus predictions (normalized, or physical units when ``unnormalize``)."""
     static_z = None if static is None else zscore_static(static)
 
-    @jax.jit
     def eval_step(params, state, x_raw, y_raw):
         x, y = _device_preprocess(x_raw, y_raw, normalizer, padded_shape, static_z)
         pred, _ = _forward_cropped(
@@ -143,6 +160,24 @@ def make_eval_step(
     return eval_step
 
 
+def make_eval_step(
+    bundle: ModelBundle,
+    normalizer: Normalizer,
+    *,
+    padded_shape: Optional[Tuple[int, int]],
+    grid_shape: Tuple[int, int] = (90, 144),
+    static: Optional[np.ndarray] = None,
+    unnormalize: bool = False,
+) -> Callable:
+    """Single-device jitted eval step."""
+    return jax.jit(
+        build_eval_step_fn(
+            bundle, normalizer, padded_shape=padded_shape, grid_shape=grid_shape,
+            static=static, unnormalize=unnormalize,
+        )
+    )
+
+
 def fit(
     bundle: ModelBundle,
     train_dataset,
@@ -156,6 +191,7 @@ def fit(
     init_opt_state=None,
     start_epoch: int = 1,
     verbose: bool = True,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Epoch driver with reference logging/checkpoint parity.
 
@@ -177,13 +213,30 @@ def fit(
     optimizer = make_optimizer(config.learning_rate, tuple(config.betas))
     opt_state = init_opt_state if init_opt_state is not None else optimizer.init(params)
 
-    train_step = make_train_step(
-        bundle, normalizer, optimizer, padded_shape=padded, grid_shape=grid_shape,
-        static=static,
-    )
-    eval_step = make_eval_step(
-        bundle, normalizer, padded_shape=padded, grid_shape=grid_shape, static=static
-    )
+    if mesh is None:
+        batch_sharding = None
+        train_step = make_train_step(
+            bundle, normalizer, optimizer, padded_shape=padded,
+            grid_shape=grid_shape, static=static,
+        )
+        eval_step = make_eval_step(
+            bundle, normalizer, padded_shape=padded, grid_shape=grid_shape,
+            static=static,
+        )
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nasa_niswan_tpu.parallel.dp import make_dp_eval_step, make_dp_train_step
+
+        batch_sharding = NamedSharding(mesh, P("dp"))
+        train_step = make_dp_train_step(
+            bundle, normalizer, optimizer, mesh, padded_shape=padded,
+            grid_shape=grid_shape, static=static,
+        )
+        eval_step = make_dp_eval_step(
+            bundle, normalizer, mesh, padded_shape=padded, grid_shape=grid_shape,
+            static=static,
+        )
 
     logger = {"MSELoss": [], "r2_score": [], "r2_score_val": []}
     step_size, gamma = config.scheduler_config
@@ -197,7 +250,8 @@ def fit(
             batch_iterator(
                 train_dataset, config.batch_size, shuffle=True,
                 seed=config.seed, epoch=epoch,
-            )
+            ),
+            sharding=batch_sharding,
         )
         for x_raw, y_raw in batches:
             rng, step_rng = jax.random.split(rng)
@@ -208,9 +262,11 @@ def fit(
             r2s.append(metrics["r2"])
 
         val_scores = []
+        # val keeps static shapes too (mesh-sharded batches must divide evenly)
         for x_raw, y_raw in device_prefetch(
             batch_iterator(val_dataset, config.batch_size, shuffle=False,
-                           drop_last=False)
+                           drop_last=mesh is not None),
+            sharding=batch_sharding,
         ):
             per_sample, _ = eval_step(params, state, x_raw, y_raw)
             val_scores.append(per_sample)

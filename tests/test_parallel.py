@@ -1,0 +1,121 @@
+"""Sharding tests on the virtual 8-device CPU mesh.
+
+Every parallel path is checked for numerical parity against its
+single-device counterpart — sharding must be a pure layout decision.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from nasa_niswan_tpu.data.dataset import SequenceDataset
+from nasa_niswan_tpu.data.synthetic import synthetic_e33oma_90d
+from nasa_niswan_tpu.models.convlstm import (
+    ConvLSTMConfig,
+    convlstm_apply,
+    convlstm_init,
+)
+from nasa_niswan_tpu.models.registry import build_model
+from nasa_niswan_tpu.ops.conv import conv2d
+from nasa_niswan_tpu.parallel.dp import make_dp_train_step
+from nasa_niswan_tpu.parallel.halo import sharded_conv2d
+from nasa_niswan_tpu.parallel.mesh import make_mesh
+from nasa_niswan_tpu.parallel.spatial import (
+    convlstm_apply_sharded,
+    make_spatial_train_step,
+)
+from nasa_niswan_tpu.train.loop import make_optimizer, make_train_step
+
+
+def test_mesh_construction():
+    mesh = make_mesh(dp=2, lat=2, lon=2)
+    assert mesh.shape == {"dp": 2, "lat": 2, "lon": 2}
+    with pytest.raises(ValueError):
+        make_mesh(dp=3)
+
+
+def test_sharded_conv_matches_dense(rng):
+    """halo_exchange_zero + VALID conv == SAME zero-pad conv, on a 2x2
+    spatial mesh (with dp=2 batch split as well)."""
+    mesh = make_mesh(dp=2, lat=2, lon=2)
+    x = rng.standard_normal((4, 16, 24, 5)).astype(np.float32)
+    k = rng.standard_normal((3, 3, 5, 7)).astype(np.float32) * 0.1
+    b = rng.standard_normal((7,)).astype(np.float32)
+
+    want = np.asarray(conv2d(x, k, b, padding=1))
+
+    fn = jax.shard_map(
+        lambda xl: sharded_conv2d(xl, k, b, pad=1),
+        mesh=mesh,
+        in_specs=(P("dp", "lat", "lon", None),),
+        out_specs=P("dp", "lat", "lon", None),
+    )
+    got = np.asarray(jax.jit(fn)(x))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sharded_convlstm_matches_single_device(rng):
+    mesh = make_mesh(dp=2, lat=2, lon=2)
+    cfg = ConvLSTMConfig(in_channels=3, hidden_channels=(4, 4), kernel_sizes=(3, 3))
+    params = convlstm_init(jax.random.PRNGKey(0), cfg)
+    x = rng.standard_normal((2, 3, 16, 24, 3)).astype(np.float32)
+
+    want = np.asarray(convlstm_apply(params, x, cfg))
+    got = np.asarray(convlstm_apply_sharded(params, x, cfg, mesh))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    data = synthetic_e33oma_90d(T=40, seed=2, H=16, W=24)
+    ds = SequenceDataset(data, period="train", sequence_length=3)
+    bundle = build_model(
+        "LSTM-t", in_channels=5, hidden_channels=(4,), kernel_sizes=(3,)
+    )
+    params, state = bundle.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(1e-3, (0.5, 0.999))
+    opt_state = opt.init(params)
+    xs, ys = zip(*(ds[i] for i in range(8)))
+    batch = (np.stack(xs), np.stack(ys))
+    return ds, bundle, opt, params, state, opt_state, batch
+
+
+def _run(step, params, state, opt_state, batch):
+    x, y = batch
+    rng = jax.random.PRNGKey(7)
+    p, s, o, m = step(params, state, opt_state, x, y, rng)
+    return p, m
+
+
+def test_dp_train_step_matches_single_device(tiny_setup):
+    ds, bundle, opt, params, state, opt_state, batch = tiny_setup
+    kw = dict(padded_shape=(20, 28), grid_shape=(16, 24))
+    single = make_train_step(bundle, ds.normalizer, opt, **kw)
+    p1, m1 = _run(single, params, state, opt_state, batch)
+
+    mesh = make_mesh(dp=8)
+    dp = make_dp_train_step(bundle, ds.normalizer, opt, mesh, **kw)
+    p2, m2 = _run(dp, params, state, opt_state, batch)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p1["head"]["w"]), np.asarray(p2["head"]["w"]), atol=1e-6
+    )
+
+
+def test_spatial_train_step_matches_single_device(tiny_setup):
+    ds, bundle, opt, params, state, opt_state, batch = tiny_setup
+    kw = dict(padded_shape=(20, 28), grid_shape=(16, 24))
+    single = make_train_step(bundle, ds.normalizer, opt, **kw)
+    p1, m1 = _run(single, params, state, opt_state, batch)
+
+    mesh = make_mesh(dp=2, lat=2, lon=2)
+    spatial = make_spatial_train_step(bundle, ds.normalizer, opt, mesh, **kw)
+    p2, m2 = _run(spatial, params, state, opt_state, batch)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(p1["head"]["w"]), np.asarray(p2["head"]["w"]), atol=1e-5
+    )
