@@ -123,6 +123,7 @@ def convlstm_apply(
     precompute_input_conv: bool = False,
     initial_state: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
     return_state: bool = False,
+    tap_fn=None,
 ):
     """Run the ConvLSTM over a sequence.
 
@@ -132,6 +133,11 @@ def convlstm_apply(
       return_per_step: also return the 1-channel head applied to every
         timestep's last-layer h — the reference's per-step taps
         (model.py:264,272; test.ipynb cell 8's ``hs``), shape (B, T, H, W, 1).
+      tap_fn: custom per-step tap ``f(h_last) -> ys`` overriding the default
+        head tap.  Performance note: a tap whose minor dim is 1 (e.g. the
+        raw (B, H, W, 1) head output) forces padded-lane scan writes on TPU
+        (~3x scan cost measured on v5e); rollout paths tap a cropped,
+        channel-squeezed (B, h, w) map instead.
       precompute_input_conv: hoist layer 0's input conv out of the scan as
         one (B*T)-batched conv.  Faster on TPU when activation memory allows
         (costs an extra (B, T, H, W, 4*hidden0) buffer).
@@ -191,14 +197,16 @@ def convlstm_apply(
             )
             new_carry.append((h, c))
             inp = h
-        if return_per_step:
+        if not return_per_step:
+            tap = None
+        elif tap_fn is not None:
+            tap = tap_fn(inp)
+        else:
             tap = conv2d(
                 inp.astype(compute_dtype),
                 params["head"]["w"].astype(compute_dtype),
                 params["head"]["b"],
             ).astype(jnp.float32)
-        else:
-            tap = None
         return new_carry, tap
 
     final_state, taps = jax.lax.scan(step, state, xs)

@@ -82,24 +82,40 @@ def make_rollout_fn(
                 )
                 for hc in config.hidden_channels
             ]
-        xs = jnp.moveaxis(forcings, 1, 0)  # (T, B, C, H, W)
+        # Preprocess ALL frames in one vectorized op before the scan — a
+        # per-step pad/transpose inside the scan body costs far more than
+        # the cell compute itself (measured ~30x on v5e at batch 1).
+        xs = _prep_frame(forcings, normalizer, static_z, padded_shape)
 
-        def step(carry, x_t):
-            x_nhwc = _prep_frame(x_t, normalizer, static_z, padded_shape)
-            pred, state = convlstm_apply(
-                params,
-                x_nhwc[:, None],  # single-frame sequence
-                config,
-                initial_state=carry,
-                return_state=True,
-            )
-            out = crop_to_grid(pred[..., 0], grid_shape)
+        compute_dtype = jnp.dtype(config.compute_dtype)
+
+        def tap(h_last):
+            # head conv + crop + squeeze inside the scan: emitting the
+            # (B, h, w) physical-grid map keeps the scan ys minor dim wide
+            # (lane-aligned); a (B, H, W, 1) tap costs ~3x (see
+            # convlstm_apply docstring).
+            from nasa_niswan_tpu.ops.conv import conv2d
+
+            p = conv2d(
+                h_last.astype(compute_dtype),
+                params["head"]["w"].astype(compute_dtype),
+                params["head"]["b"],
+            ).astype(jnp.float32)
+            p = crop_to_grid(p[..., 0], grid_shape)
             if unnormalize:
-                out = normalizer.unnormalize_y(out)
-            return state, out
+                p = normalizer.unnormalize_y(p)
+            return p
 
-        final_state, preds = jax.lax.scan(step, initial_state, xs)
-        return jnp.moveaxis(preds, 0, 1), final_state
+        _, preds, final_state = convlstm_apply(
+            params,
+            xs,
+            config,
+            return_per_step=True,
+            initial_state=initial_state,
+            return_state=True,
+            tap_fn=tap,
+        )
+        return preds, final_state
 
     return rollout
 
