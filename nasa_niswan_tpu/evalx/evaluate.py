@@ -1,0 +1,141 @@
+"""Test-period evaluation pipeline — the programmatic equivalent of the
+reference's test.ipynb (cells 6-17: load checkpoint, stream the test set,
+un-normalize, compute the R^2 family, save test-results.npy).
+
+Two inference modes for recurrent models:
+
+  * ``mode="windowed"`` — exact reference semantics: every test step is
+    predicted from its own sequence window starting at zero state
+    (E33OMA_CRNN windows, dataset.py:543-545; test.ipynb cell 8).  O(T * L)
+    work for window length L.
+  * ``mode="rollout"`` — the TPU-native serving path: one compiled
+    state-carrying rollout over the whole test period
+    (rollout/autoregressive.py).  O(T) work; state never resets, which is
+    the in-line-surrogate behavior (and typically scores at least as well
+    after the first day of warm-up).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from nasa_niswan_tpu.data.dataset import SequenceDataset
+from nasa_niswan_tpu.data.pipeline import batch_iterator, device_prefetch
+from nasa_niswan_tpu.evalx import metrics as M
+from nasa_niswan_tpu.models.registry import ModelBundle
+from nasa_niswan_tpu.train.loop import make_eval_step
+
+
+def predict_test_set(
+    bundle: ModelBundle,
+    params,
+    state,
+    dataset,
+    *,
+    padded_shape,
+    batch_size: int = 8,
+    static: Optional[np.ndarray] = None,
+) -> Dict[str, np.ndarray]:
+    """Windowed inference over a test dataset; returns physical-unit GTs/PDs
+    shaped (N, H, W) (the reference's GTs/PDs buffers, test.ipynb cell 8)."""
+    norm = dataset.normalizer
+    grid_shape = tuple(dataset[0][1].shape[-2:])
+    eval_step = make_eval_step(
+        bundle, norm, padded_shape=padded_shape, grid_shape=grid_shape,
+        static=static, unnormalize=True,
+    )
+    gts, pds = [], []
+    for x_raw, y_raw in device_prefetch(
+        batch_iterator(dataset, batch_size, shuffle=False, drop_last=False)
+    ):
+        _, pred = eval_step(params, state, x_raw, y_raw)
+        pds.append(np.asarray(pred))
+        gts.append(np.asarray(y_raw))
+    return {"GTs": np.concatenate(gts), "PDs": np.concatenate(pds)}
+
+
+def predict_test_rollout(
+    config, params, dataset: SequenceDataset, *, padded_shape, static=None
+) -> Dict[str, np.ndarray]:
+    """State-carrying rollout over the test period of a SequenceDataset."""
+    from nasa_niswan_tpu.rollout.autoregressive import make_rollout_fn
+
+    norm = dataset.normalizer
+    grid_shape = tuple(dataset[0][1].shape[-2:])
+    rollout = make_rollout_fn(
+        config, norm, padded_shape=padded_shape, grid_shape=grid_shape,
+        static=static, unnormalize=True,
+    )
+    # reconstruct the contiguous forcing stream for the test window targets:
+    # window i ends at target step i; feed the raw frames in order
+    windows = dataset._windows  # (N, 5, H, W, seq) strided view
+    first = np.moveaxis(windows[0], -1, 0)  # (seq, 5, H, W) warm-up frames
+    rest = windows[1:, :, :, :, -1]  # (N-1, 5, H, W) one new frame per step
+    frames = np.concatenate([first, rest], axis=0)[None]  # (1, T, 5, H, W)
+    preds, _ = rollout(params, frames)
+    preds = np.asarray(preds)[0, dataset.seq_len - 1 :]
+    return {"GTs": dataset._targets.copy(), "PDs": preds}
+
+
+def evaluation_report(
+    gts: np.ndarray, pds: np.ndarray, lat, lon, *, unit_scale: float = 1.0
+) -> Dict:
+    """The reference's metric battery over (N, H, W) ground truth and
+    predictions (test.ipynb cells 12-44)."""
+    gts = gts * unit_scale
+    pds = pds * unit_scale
+    temporal = np.asarray(M.r2_temporal(gts, pds))
+    spatial = np.asarray(M.r2_spatial(gts, pds))
+    weight = gts.mean(axis=0)
+    bands = {
+        "tropical": (-21, 21),
+        "northern_mid": (21, 61),
+        "northern_polar": (61, 90),
+        "southern_mid": (-61, -21),
+        "southern_polar": (-90, -61),
+    }
+    band_r2 = {
+        name: float(M.lat_band_weighted_r2(spatial, weight, lat, band))
+        for name, band in bands.items()
+    }
+    regions = {}
+    for region in M.REGIONS:
+        g = np.asarray(M.regional_slice(gts, lat, lon, region))
+        p = np.asarray(M.regional_slice(pds, lat, lon, region))
+        regions[region] = float(M.r2(g, p))
+    return {
+        "temporal_r2": temporal,
+        "temporal_r2_summary": {
+            "mean": float(temporal.mean()),
+            "median": float(np.median(temporal)),
+            "max": float(temporal.max()),
+            "min": float(temporal.min()),
+        },
+        "spatial_r2": spatial,
+        "band_weighted_r2": band_r2,
+        "regional_r2": regions,
+        "pearson_r": float(M.pearson_r(gts, pds)),
+        "global_r2": float(M.r2(gts, pds)),
+    }
+
+
+def save_test_results(path_dir: str, gts: np.ndarray, pds: np.ndarray) -> str:
+    """test-results.npy with the reference layout: two consecutive np.save's
+    (GTs then PDs) in one file (test.ipynb cell 9)."""
+    os.makedirs(path_dir, exist_ok=True)
+    path = os.path.join(path_dir, "test-results.npy")
+    with open(path, "wb") as f:
+        np.save(f, gts)
+        np.save(f, pds)
+    return path
+
+
+def load_test_results(path: str):
+    with open(path, "rb") as f:
+        gts = np.load(f)
+        pds = np.load(f)
+    return gts, pds

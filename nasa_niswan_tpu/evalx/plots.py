@@ -1,0 +1,168 @@
+"""Host-side plotting/reporting utilities (reference: utils.py:124-235 and
+the map/series figures of test.ipynb).
+
+Semantics ported, not style: each function reproduces what the reference
+plot shows (box/CDF/QQ panels, 1950-vs-1951 global-average comparison,
+nearest-gridpoint series, exceedance curves) using matplotlib only — these
+run on the host and are not part of any compiled path.  All functions
+accept an ``ax``/``save_path`` and never call plt.show() (headless-safe).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+try:  # pragma: no cover
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    HAVE_MPL = True
+except ImportError:  # pragma: no cover
+    plt = None
+    HAVE_MPL = False
+
+
+def _require_mpl():
+    if not HAVE_MPL:
+        raise ImportError("matplotlib is required for plotting utilities")
+
+
+def qqplot(
+    y_test: np.ndarray,
+    y_pred: np.ndarray,
+    *,
+    axis_names: Tuple[str, str] = ("GT", "MODEL"),
+    quantiles: Optional[int] = None,
+    save_path: Optional[str] = None,
+):
+    """Box / empirical-CDF / quantile-quantile triptych (utils.py:124-171)."""
+    _require_mpl()
+    fig, (ax1, ax2, ax3) = plt.subplots(1, 3, figsize=(10, 3),
+                                        constrained_layout=True)
+    ax1.boxplot([y_test, y_pred], showmeans=True, showfliers=False)
+    ax1.set_xticklabels(axis_names)
+    ax1.grid(True)
+
+    for vals, name, style in ((y_test, axis_names[0], "-"),
+                              (y_pred, axis_names[1], "-.")):
+        xs = np.sort(vals)
+        ax2.plot(xs, np.arange(1, len(vals) + 1) / len(vals), style, label=name)
+    ax2.grid(True)
+    ax2.legend()
+
+    q = quantiles or min(len(y_test), len(y_pred))
+    qs = np.linspace(0, 1, int(q))
+    xq = np.quantile(y_test, qs, method="nearest")
+    yq = np.quantile(y_pred, qs, method="nearest")
+    ax3.scatter(xq, yq)
+    lo, hi = min(xq.min(), yq.min()), max(xq.max(), yq.max())
+    ax3.plot([lo, hi], [lo, hi], "--", color="black", linewidth=1.5)
+    ax3.set_xlabel(axis_names[0])
+    ax3.set_ylabel(axis_names[1])
+
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", pad_inches=0.1)
+    return fig
+
+
+def plot_global_ave(
+    series: np.ndarray,
+    *,
+    split: int = 17520,
+    labels: Tuple[str, str] = ("1950", "1951"),
+    save_path: Optional[str] = None,
+):
+    """Year-over-year comparison of a global-average series: scatter of year
+    1 vs year 2 plus overlaid monthly-ticked time series (utils.py:174-209)."""
+    _require_mpl()
+    a, b = np.asarray(series[:split]), np.asarray(series[split : 2 * split])
+    n = min(len(a), len(b))
+    fig, (ax1, ax2) = plt.subplots(
+        1, 2, figsize=(20, 4), constrained_layout=True,
+        gridspec_kw={"width_ratios": [1, 4]},
+    )
+    lo = min(a.min(), b.min()) if n else 0.0
+    hi = max(a.max(), b.max()) if n else 1.0
+    ax1.scatter(a[:n], b[:n], alpha=0.5)
+    ax1.plot([lo, hi], [lo, hi], "--", color="black", linewidth=1.5)
+    ax1.set_xlabel(labels[0])
+    ax1.set_ylabel(labels[1])
+    ax1.grid()
+
+    ax2.plot(a, label=labels[0])
+    ax2.plot(b, label=labels[1])
+    months = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    ax2.set_xticks(range(0, split, max(split // 12, 1)))
+    ax2.set_xticklabels(months[: len(range(0, split, max(split // 12, 1)))],
+                        rotation=45)
+    ax2.grid()
+    ax2.legend()
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", pad_inches=0.1)
+    return fig
+
+
+def find_nearest(coords: np.ndarray, lat: float, lon: float) -> Tuple[float, float]:
+    """Nearest (lat, lon) gridpoint from an (N, 2) coordinate table
+    (utils.py:211-219): nearest latitude first, then nearest longitude
+    within that latitude row."""
+    coords = np.asarray(coords)
+    lat_sel = coords[np.abs(coords[:, 0] - lat).argmin(), 0]
+    row = coords[coords[:, 0] == lat_sel]
+    lon_sel = row[np.abs(row[:, 1] - lon).argmin(), 1]
+    return float(lat_sel), float(lon_sel)
+
+
+def plot_on_grid(
+    gts: np.ndarray,
+    pds: np.ndarray,
+    grid_lat: np.ndarray,
+    grid_lon: np.ndarray,
+    lat: float,
+    lon: float,
+    *,
+    save_path: Optional[str] = None,
+):
+    """GT-vs-prediction time series at the gridpoint nearest (lat, lon),
+    annotated with its R^2 (utils.py:221-235)."""
+    _require_mpl()
+    from nasa_niswan_tpu.evalx.metrics import r2
+
+    coords = np.array([(la, lo) for la in grid_lat for lo in grid_lon])
+    lat_sel, lon_sel = find_nearest(coords, lat, lon)
+    i = int(np.argmin(np.abs(np.asarray(grid_lat) - lat_sel)))
+    j = int(np.argmin(np.abs(np.asarray(grid_lon) - lon_sel)))
+    g, p = gts[:, i, j], pds[:, i, j]
+    fig, ax = plt.subplots(figsize=(20, 4))
+    ax.plot(g, label="Real Data")
+    ax.plot(p, label="Model Output")
+    ax.set_title(f"lat:{lat_sel}, lon:{lon_sel}, R2: {float(r2(g, p)):.2f}")
+    ax.grid(True)
+    ax.legend()
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", pad_inches=0.1)
+    return fig
+
+
+def plot_r2_map(
+    r2_map: np.ndarray,
+    grid_lat: Sequence[float],
+    grid_lon: Sequence[float],
+    *,
+    save_path: Optional[str] = None,
+):
+    """Global R^2 map (test.ipynb cell 38's pcolormesh; plain lat-lon
+    projection — cartopy is not in the TPU image)."""
+    _require_mpl()
+    fig, ax = plt.subplots(figsize=(8, 5), constrained_layout=True)
+    im = ax.pcolormesh(grid_lon, grid_lat, r2_map, cmap="RdBu_r", vmin=-1, vmax=1)
+    fig.colorbar(im, ax=ax, orientation="horizontal", pad=0.02, shrink=0.7,
+                 label=r"Coefficient of Determination ($R^2$)")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", pad_inches=0.1)
+    return fig

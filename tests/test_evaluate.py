@@ -1,0 +1,111 @@
+"""Evaluation-pipeline tests: windowed vs rollout inference, report battery,
+test-results.npy format, plotting utils (smoke on Agg backend)."""
+
+import numpy as np
+import pytest
+
+from nasa_niswan_tpu.core.grid import GridSpec
+from nasa_niswan_tpu.data.dataset import SequenceDataset
+from nasa_niswan_tpu.data.synthetic import synthetic_e33oma_90d
+from nasa_niswan_tpu.evalx.evaluate import (
+    evaluation_report,
+    load_test_results,
+    predict_test_rollout,
+    predict_test_set,
+    save_test_results,
+)
+from nasa_niswan_tpu.models.registry import build_model
+
+GRID = dict(H=16, W=24)
+PADDED = (20, 28)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+
+    data = synthetic_e33oma_90d(T=60, seed=3, **GRID)
+    ds = SequenceDataset(data, period="test", sequence_length=4)
+    bundle = build_model(
+        "LSTM-t", in_channels=5, hidden_channels=(4, 4), kernel_sizes=(3, 3)
+    )
+    params, state = bundle.init(jax.random.PRNGKey(0))
+    return ds, bundle, params, state
+
+
+def test_windowed_prediction_shapes(setup):
+    ds, bundle, params, state = setup
+    out = predict_test_set(
+        bundle, params, state, ds, padded_shape=PADDED, batch_size=4
+    )
+    assert out["GTs"].shape == out["PDs"].shape == (len(ds), 16, 24)
+    # predictions are in physical units (un-normalized): compare scales
+    assert out["PDs"].std() < 100 * max(out["GTs"].std(), 1e-3)
+
+
+def test_rollout_prediction_aligns_with_windowed_gts(setup):
+    ds, bundle, params, state = setup
+    win = predict_test_set(bundle, params, state, ds, padded_shape=PADDED)
+    ro = predict_test_rollout(bundle.config, params, ds, padded_shape=PADDED)
+    np.testing.assert_array_equal(win["GTs"], ro["GTs"])
+    assert ro["PDs"].shape == win["PDs"].shape
+    # same model, different state protocol (fresh window vs carried state):
+    # outputs correlate strongly but need not be identical
+    c = np.corrcoef(win["PDs"].ravel(), ro["PDs"].ravel())[0, 1]
+    assert c > 0.8
+
+
+def test_evaluation_report_battery(setup):
+    g = GridSpec(nlat=16, nlon=24)
+    rng = np.random.default_rng(0)
+    gts = rng.standard_normal((40, 16, 24)).astype(np.float32) + 5
+    pds = gts + 0.1 * rng.standard_normal((40, 16, 24)).astype(np.float32)
+    rep = evaluation_report(gts, pds, g.lat, g.lon)
+    assert rep["temporal_r2"].shape == (40,)
+    assert rep["temporal_r2_summary"]["mean"] > 0.9
+    assert rep["spatial_r2"].shape == (16, 24)
+    assert set(rep["band_weighted_r2"]) == {
+        "tropical", "northern_mid", "northern_polar", "southern_mid",
+        "southern_polar",
+    }
+    assert len(rep["regional_r2"]) == 8
+    assert rep["pearson_r"] > 0.99
+    # unit conversion scales values but not R^2
+    rep2 = evaluation_report(gts, pds, g.lat, g.lon, unit_scale=0.01)
+    assert rep2["global_r2"] == pytest.approx(rep["global_r2"], rel=1e-4)
+
+
+def test_test_results_round_trip(tmp_path):
+    gts = np.arange(12.0).reshape(3, 2, 2)
+    pds = gts + 1
+    path = save_test_results(str(tmp_path), gts, pds)
+    g2, p2 = load_test_results(path)
+    np.testing.assert_array_equal(g2, gts)
+    np.testing.assert_array_equal(p2, pds)
+
+
+def test_plots_smoke(tmp_path, rng):
+    from nasa_niswan_tpu.evalx.plots import (
+        find_nearest,
+        plot_global_ave,
+        plot_on_grid,
+        plot_r2_map,
+        qqplot,
+    )
+
+    g = GridSpec(nlat=16, nlon=24)
+    y1 = rng.standard_normal(500)
+    y2 = y1 + 0.1 * rng.standard_normal(500)
+    qqplot(y1, y2, quantiles=50, save_path=str(tmp_path / "qq.png"))
+    plot_global_ave(rng.standard_normal(48), split=24,
+                    save_path=str(tmp_path / "ga.png"))
+    lat, lon = find_nearest(
+        np.array([(la, lo) for la in g.lat for lo in g.lon]), 10.0, 20.0
+    )
+    assert abs(lat - 10.0) <= 180 / 16 and abs(lon - 20.0) <= 360 / 24
+    gts = rng.standard_normal((30, 16, 24))
+    plot_on_grid(gts, gts + 0.1, g.lat, g.lon, 10.0, 20.0,
+                 save_path=str(tmp_path / "pg.png"))
+    plot_r2_map(rng.uniform(-1, 1, (16, 24)), g.lat, g.lon,
+                save_path=str(tmp_path / "map.png"))
+    assert (tmp_path / "qq.png").exists() and (tmp_path / "map.png").exists()
