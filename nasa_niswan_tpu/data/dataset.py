@@ -108,13 +108,16 @@ class SequenceDataset:
         period: str,
         species: str = "bcb",
         sequence_length: int = 48,
-        in_channels: int = 5,
+        in_channels: Optional[int] = None,
         padding: Optional[Tuple[int, int]] = None,
         host_preprocessed: bool = False,
     ):
         if period not in ("train", "val", "test"):
             raise ValueError(f"bad period {period!r}")
-        xs, y = _stack_inputs(data, species)
+        if isinstance(data, tuple):
+            xs, y = data  # pre-fused stack, e.g. data/fusion.fuse_levels
+        else:
+            xs, y = _stack_inputs(data, species)
         T = xs.shape[0]
         train_end, val_end = reference_splits(T)
 
@@ -125,17 +128,17 @@ class SequenceDataset:
             y_std=float(y[:train_end].std()),
         )
         self.seq_len = sequence_length
-        self.in_channels = in_channels
+        self.in_channels = in_channels if in_channels is not None else xs.shape[1]
         self.padding = padding
         self.host_preprocessed = host_preprocessed
         self.species = species
 
-        n_static = in_channels - 5
+        n_static = self.in_channels - xs.shape[1]
         if n_static > 0:
-            static = data.get("static")
+            static = data.get("static") if isinstance(data, dict) else None
             if static is None or static.shape[0] < n_static:
                 raise ValueError(
-                    f"in_channels={in_channels} needs {n_static} static channels"
+                    f"in_channels={self.in_channels} needs {n_static} static channels"
                 )
             self.static = zscore_static(static[:n_static])
         else:
@@ -259,6 +262,59 @@ class SingleStepDataset:
         if self.padding:
             x = np.asarray(pad_geo(x, self.padding))
         return x, y
+
+
+class Seq2SeqDataset:
+    """Contiguous chunks for multi-step autoregressive training
+    (BASELINE config #3): per sample a (T, 5, H, W) forcing window, the
+    (H, W) concentration at the step before the window (the initial
+    feedback frame), and the (T, H, W) target series.
+
+    Chunks stride by ``sequence_length`` (non-overlapping) so an epoch sees
+    each step once; splits follow reference_splits over chunk counts.
+    """
+
+    def __init__(
+        self,
+        data: Dict[str, np.ndarray],
+        *,
+        period: str,
+        species: str = "bcb",
+        sequence_length: int = 48,
+    ):
+        xs, y = _stack_inputs(data, species)
+        T = xs.shape[0]
+        # step 0 of each chunk needs conc at -1, so chunks start at 1
+        n_chunks = (T - 1) // sequence_length
+        starts = 1 + np.arange(n_chunks) * sequence_length
+        train_end, val_end = reference_splits(n_chunks)
+        lo, hi = {
+            "train": (0, train_end),
+            "val": (train_end, val_end),
+            "test": (val_end, n_chunks),
+        }[period]
+        self._starts = starts[lo:hi]
+        self._xs = xs
+        self._y = y
+        self.seq_len = sequence_length
+        # stats over the steps covered by training chunks
+        t_hi = starts[train_end - 1] + sequence_length if train_end else 1
+        self.normalizer = Normalizer(
+            x_mean=xs[1:t_hi].mean(axis=(0, 2, 3)),
+            x_std=xs[1:t_hi].std(axis=(0, 2, 3)),
+            y_mean=float(y[1:t_hi].mean()),
+            y_std=float(y[1:t_hi].std()),
+        )
+
+    def __len__(self) -> int:
+        return len(self._starts)
+
+    def __getitem__(self, idx: int):
+        s = int(self._starts[idx])
+        x = np.ascontiguousarray(self._xs[s : s + self.seq_len])
+        y = self._y[s : s + self.seq_len]
+        prev0 = self._y[s - 1]
+        return x, prev0, y
 
 
 def make_preprocess_fn(

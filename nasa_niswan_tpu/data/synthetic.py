@@ -116,6 +116,13 @@ def synthetic_e33oma_90d(
         profile = np.exp(-np.arange(nlev, dtype=np.float32) / 6.0)
         conc = conc[:, None] * profile[None, :, None, None]
         conc += 0.01 * rng.standard_normal(conc.shape).astype(np.float32) * conc
+        # 3-D meteorology: surface winds sheared/scaled with height (the
+        # 20-level fusion inputs, data/fusion.py)
+        shear = (1.0 + 0.08 * np.arange(nlev, dtype=np.float32))[None, :, None, None]
+        jitter = lambda: 0.05 * rng.standard_normal((1, nlev, 1, 1)).astype(np.float32)
+        u = u[:, None] * (shear + jitter())
+        v = v[:, None] * (shear + jitter())
+        omega = omega[:, None] * (1.0 + jitter())
 
     static = np.stack(
         [np.maximum(_spectral_field(rng, 1, H, W, amp=2.0)[0], -2.0) for _ in range(n_static)]

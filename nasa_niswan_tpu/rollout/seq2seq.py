@@ -1,0 +1,183 @@
+"""Multi-step seq2seq training with teacher forcing / scheduled sampling
+(BASELINE config #3).
+
+Single-step training (train/loop.py) only ever shows the model ground-truth
+history; a closed-loop emulator must survive its *own* predictions.  Here
+the training step runs the model autoregressively over a T-step chunk: the
+6th input channel (the previous-step concentration, the reference's X6
+feedback channel, dataset.py:330 / test.ipynb cell 8) is, per step, either
+the ground truth (teacher forcing) or the model's previous prediction,
+chosen by a Bernoulli draw with probability ``teacher_prob`` — annealed
+over training (scheduled sampling, Bengio et al. 2015) so the model
+gradually weans off ground truth.  Loss is the step-averaged MSE+L1 over
+the whole chunk; gradients flow through the feedback path (full BPTT via
+the scan).
+
+Everything (normalization, padding, the per-step Bernoulli draws, the
+feedback substitution) lives inside one jitted scan.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
+from nasa_niswan_tpu.data.dataset import Normalizer
+from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, convlstm_apply
+from nasa_niswan_tpu.ops.conv import conv2d
+
+
+def inverse_sigmoid_schedule(epoch: int, k: float = 10.0) -> float:
+    """Teacher-forcing probability k/(k+exp(epoch/k)): starts near 1,
+    anneals toward 0 (the classic scheduled-sampling decay)."""
+    return k / (k + math.exp(epoch / k))
+
+
+def make_seq2seq_train_step(
+    config: ConvLSTMConfig,
+    normalizer: Normalizer,
+    optimizer,
+    *,
+    padded_shape: Tuple[int, int],
+    grid_shape: Tuple[int, int],
+):
+    """Returns jitted ``step(params, opt_state, x, prev0, y, rng,
+    teacher_prob) -> (params, opt_state, metrics)``.
+
+    x: raw (B, T, 5, H, W) forcings; prev0: raw (B, H, W) concentration at
+    t-1 of the chunk start; y: raw (B, T, H, W) target series.
+    ``config.in_channels`` must be 6 (5 dynamic + feedback).
+    """
+    if config.in_channels != 6:
+        raise ValueError("seq2seq feedback training needs in_channels == 6")
+
+    x_mean = jnp.asarray(normalizer.x_mean).reshape(-1, 1, 1)
+    x_std = jnp.asarray(normalizer.x_std).reshape(-1, 1, 1)
+    y_mean, y_std = normalizer.y_mean, normalizer.y_std
+    compute_dtype = jnp.dtype(config.compute_dtype)
+
+    def forward_chunk(params, x, prev0, y, rng, teacher_prob):
+        B, T = x.shape[:2]
+        H, W = padded_shape
+        xn = (x - x_mean) / x_std  # (B, T, 5, h, w)
+        yn = (y - y_mean) / y_std  # (B, T, h, w)
+        prev0n = (prev0 - y_mean) / y_std
+
+        xs = jnp.moveaxis(xn, 1, 0)  # (T, B, 5, h, w)
+        ys = jnp.moveaxis(yn, 1, 0)  # (T, B, h, w)
+        draws = jax.random.bernoulli(rng, teacher_prob, (T, B))
+
+        state = [
+            (
+                jnp.zeros((B, H, W, hc), jnp.float32),
+                jnp.zeros((B, H, W, hc), jnp.float32),
+            )
+            for hc in config.hidden_channels
+        ]
+
+        def step(carry, inp):
+            state, prev_pred = carry
+            x_t, y_t, use_teacher = inp
+            # teacher frame: ground truth at t-1 arrives as prev_pred via
+            # the carry when teacher-forced (see below); here we choose
+            # between the carried prediction and the carried truth
+            feedback = prev_pred  # (B, h, w) normalized
+            frame = jnp.concatenate([x_t, feedback[:, None]], axis=1)
+            frame = pad_geo(frame, padded_shape)
+            frame = jnp.moveaxis(frame, 1, -1)[:, None]  # (B, 1, H, W, 6)
+            pred_pad, new_state = convlstm_apply(
+                params, frame, config, initial_state=state, return_state=True
+            )
+            pred = crop_to_grid(pred_pad[..., 0], grid_shape)  # (B, h, w)
+            step_loss = jnp.mean((y_t - pred) ** 2) + jnp.mean(jnp.abs(y_t - pred))
+            # next step's feedback: scheduled sampling per (t, sample)
+            next_feedback = jnp.where(use_teacher[:, None, None], y_t, pred)
+            return (new_state, next_feedback), (step_loss, pred)
+
+        (_, _), (losses, preds) = jax.lax.scan(
+            step, (state, prev0n), (xs, ys, draws)
+        )
+        loss = jnp.mean(losses)
+        # chunk-level R^2 in normalized space
+        flat_y = ys.reshape(-1)
+        flat_p = preds.reshape(-1)
+        ss_res = jnp.sum((flat_y - flat_p) ** 2)
+        ss_tot = jnp.sum((flat_y - jnp.mean(flat_y)) ** 2)
+        return loss, 1.0 - ss_res / ss_tot
+
+    @jax.jit
+    def train_step(params, opt_state, x, prev0, y, rng, teacher_prob):
+        (loss, r2v), grads = jax.value_and_grad(
+            lambda p: forward_chunk(p, x, prev0, y, rng, teacher_prob),
+            has_aux=True,
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "r2": r2v}
+
+    return train_step
+
+
+def fit_seq2seq(
+    config: ConvLSTMConfig,
+    params,
+    dataset,
+    *,
+    normalizer: Optional[Normalizer] = None,
+    padded_shape: Tuple[int, int],
+    grid_shape: Tuple[int, int],
+    num_epochs: int = 10,
+    batch_size: int = 4,
+    learning_rate: float = 1e-3,
+    betas: Tuple[float, float] = (0.5, 0.999),
+    schedule_k: float = 10.0,
+    seed: int = 0,
+    verbose: bool = True,
+):
+    """Scheduled-sampling fine-tuning driver over a Seq2SeqDataset."""
+    from nasa_niswan_tpu.train.loop import make_optimizer
+
+    normalizer = normalizer or dataset.normalizer
+    optimizer = make_optimizer(learning_rate, betas)
+    opt_state = optimizer.init(params)
+    step = make_seq2seq_train_step(
+        config, normalizer, optimizer, padded_shape=padded_shape,
+        grid_shape=grid_shape,
+    )
+    rng = jax.random.PRNGKey(seed)
+    history = []
+    n = len(dataset)
+    order = np.arange(n)
+    for epoch in range(1, num_epochs + 1):
+        tp = inverse_sigmoid_schedule(epoch, schedule_k)
+        np.random.default_rng(seed + epoch).shuffle(order)
+        losses, r2s = [], []
+        for s in range(0, n - n % batch_size, batch_size):
+            xs, p0s, ys = zip(*(dataset[int(i)] for i in order[s : s + batch_size]))
+            rng, srng = jax.random.split(rng)
+            params, opt_state, m = step(
+                params, opt_state, np.stack(xs), np.stack(p0s), np.stack(ys),
+                srng, tp,
+            )
+            losses.append(m["loss"])
+            r2s.append(m["r2"])
+        history.append(
+            {
+                "epoch": epoch,
+                "teacher_prob": tp,
+                "loss": float(jnp.mean(jnp.stack(losses))),
+                "r2": float(jnp.mean(jnp.stack(r2s))),
+            }
+        )
+        if verbose:
+            print(
+                f"[seq2seq] Epoch: {epoch}, tf_prob: {tp:.3f}, "
+                f"Loss: {history[-1]['loss']:.5f}, R2: {history[-1]['r2']:.5f}"
+            )
+    return params, opt_state, history
