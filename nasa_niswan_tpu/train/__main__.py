@@ -27,6 +27,7 @@ def load_data(config: TrainConfig) -> dict:
             return dict(f)
     return synthetic_e33oma_90d(
         species=config.species, T=config.synthetic_steps, nlev=config.levels,
+        H=config.synthetic_grid[0], W=config.synthetic_grid[1],
         seed=config.seed,
     )
 
@@ -61,16 +62,28 @@ def main(config: TrainConfig):
     static = data["static"][:n_static] if n_static > 0 else None
 
     init_params = init_state = init_opt_state = None
-    if config.use_checkpoint:
+    start_epoch = 1
+    restore_dir = None
+    if config.auto_resume:
+        # preemption recovery: restart from the newest epoch-NNN checkpoint
+        # in the snapshot dir, if any (SURVEY.md §5 failure detection)
+        from nasa_niswan_tpu.train.checkpoint import latest_epoch_dir
+
+        restore_dir = latest_epoch_dir(config.snapshot_dir)
+    elif config.use_checkpoint:
+        restore_dir = config.restore_from
+    if restore_dir:
         rng = jax.random.PRNGKey(config.seed)
         tmpl_params, tmpl_state = bundle.init(rng)
         tmpl_opt = make_optimizer(config.learning_rate, tuple(config.betas)).init(
             tmpl_params
         )
         init_params, init_opt_state, meta = load_checkpoint(
-            config.restore_from, tmpl_params, tmpl_opt, lr=config.learning_rate
+            restore_dir, tmpl_params, tmpl_opt, lr=config.learning_rate
         )
         init_state = tmpl_state
+        if config.auto_resume and meta.get("epoch"):
+            start_epoch = int(meta["epoch"]) + 1
         print("Number of Epochs:", meta.get("epoch"))
         print("Learning Rate:", meta.get("learning_rate"))
 
@@ -84,7 +97,7 @@ def main(config: TrainConfig):
     return fit(
         bundle, train_ds, val_ds, config, static=static,
         init_params=init_params, init_state=init_state,
-        init_opt_state=init_opt_state,
+        init_opt_state=init_opt_state, start_epoch=start_epoch,
     )
 
 

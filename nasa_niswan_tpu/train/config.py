@@ -45,9 +45,11 @@ class TrainConfig:
     seed: int = 0
     data_path: Optional[str] = None  # packed npz; None -> synthetic fixture
     synthetic_steps: int = 480  # fixture length when data_path is None
+    synthetic_grid: Tuple[int, int] = (90, 144)  # fixture (lat, lon) size
     dp_devices: int = 1  # data-parallel mesh size (parallel/dp.py)
     checkpoint_every: int = 10  # reference: every 10 epochs (train.py:126)
     levels: int = 1  # vertical levels (20 for the 3-D fusion config)
+    auto_resume: bool = False  # restart-from-latest (preemption recovery)
 
     def __post_init__(self):
         if len(self.hidden_channels) != self.num_layers:
@@ -64,7 +66,7 @@ class TrainConfig:
     def to_json_dict(self) -> dict:
         d = dataclasses.asdict(self)
         for k in ("hidden_channels", "kernel_size", "input_size", "scheduler_config",
-                  "betas"):
+                  "betas", "synthetic_grid"):
             d[k] = list(d[k])
         return d
 
@@ -85,7 +87,7 @@ class TrainConfig:
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in raw.items() if k in fields}
         for k in ("hidden_channels", "kernel_size", "input_size",
-                  "scheduler_config", "betas"):
+                  "scheduler_config", "betas", "synthetic_grid"):
             if k in kwargs:
                 kwargs[k] = tuple(kwargs[k])
         return cls(**kwargs)
@@ -122,12 +124,14 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--seed", type=int, default=d["seed"].default)
     p.add_argument("--data-path", type=str, default=None)
     p.add_argument("--synthetic-steps", type=int, default=d["synthetic_steps"].default)
+    p.add_argument("--synthetic-grid", nargs=2, type=int, default=(90, 144))
     p.add_argument("--dp-devices", type=int, default=d["dp_devices"].default)
     p.add_argument("--checkpoint-every", type=int, default=d["checkpoint_every"].default)
     p.add_argument("--levels", type=int, default=d["levels"].default)
+    p.add_argument("--auto-resume", action="store_true")
     ns = p.parse_args(argv)
     kwargs = {k.replace("-", "_"): v for k, v in vars(ns).items()}
     for k in ("hidden_channels", "kernel_size", "input_size", "scheduler_config",
-              "betas"):
+              "betas", "synthetic_grid"):
         kwargs[k] = tuple(kwargs[k])
     return TrainConfig(**kwargs)
