@@ -25,6 +25,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 MESH_AXES = ("dp", "lat", "lon")
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host initialization: call once per host before make_mesh.
+
+    Wraps jax.distributed.initialize (env-autodetected on TPU pods when
+    called with no arguments).  After this, jax.devices() spans all hosts;
+    build the global mesh from it and feed each host its own batch shard.
+    Returns the process index.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index()
+
+
 def make_mesh(
     dp: int = 1,
     lat: int = 1,
