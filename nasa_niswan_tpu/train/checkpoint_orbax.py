@@ -1,0 +1,94 @@
+"""Async Orbax checkpoint backend (optional alternative to the npz format).
+
+The npz backend (train/checkpoint.py) is synchronous and dependency-free —
+fine for the reference's every-10-epochs cadence.  For production TPU runs
+where preemption coverage wants frequent checkpoints without stalling the
+step loop, this wraps orbax's async CheckpointManager: saves overlap
+training, old steps are garbage-collected, restore-latest is built in.
+
+Layout: <dir>/<step>/... managed by orbax; metadata (epoch, lr) rides in
+the saved pytree, so restore has the same information the npz format
+carries.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+try:  # pragma: no cover - orbax is in the TPU image; gate for safety
+    import orbax.checkpoint as ocp
+
+    HAVE_ORBAX = True
+except ImportError:  # pragma: no cover
+    ocp = None
+    HAVE_ORBAX = False
+
+
+def _require():
+    if not HAVE_ORBAX:
+        raise ImportError("orbax-checkpoint is required for the async backend")
+
+
+class AsyncCheckpointer:
+    """Minimal async checkpoint manager for (params, opt_state, meta).
+
+    >>> ckpt = AsyncCheckpointer(dir, max_to_keep=3)
+    >>> ckpt.save(epoch, params, opt_state, learning_rate=lr)   # non-blocking
+    >>> params, opt_state, meta = ckpt.restore_latest(params, opt_state)
+    >>> ckpt.close()                                            # drain saves
+    """
+
+    def __init__(self, directory: str, *, max_to_keep: int = 3):
+        _require()
+        import os
+
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(
+        self,
+        step: int,
+        params: Any,
+        opt_state: Any = None,
+        *,
+        learning_rate: Optional[float] = None,
+    ) -> None:
+        payload = {
+            "params": params,
+            "opt_state": opt_state if opt_state is not None else {},
+            "meta": {
+                "epoch": step,
+                "learning_rate": (
+                    learning_rate if learning_rate is not None else -1.0
+                ),
+            },
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+
+    def restore_latest(
+        self, params_template: Any, opt_state_template: Any = None
+    ) -> Optional[Tuple[Any, Any, dict]]:
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        payload = {
+            "params": params_template,
+            "opt_state": opt_state_template if opt_state_template is not None else {},
+            "meta": {"epoch": 0, "learning_rate": -1.0},
+        }
+        out = self._mgr.restore(step, args=ocp.args.StandardRestore(payload))
+        meta = dict(out["meta"])
+        if meta.get("learning_rate", -1.0) < 0:
+            meta["learning_rate"] = None
+        return out["params"], out["opt_state"], meta
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
