@@ -123,6 +123,64 @@ def evaluation_report(
     }
 
 
+def monthly_breakdown(
+    gts: np.ndarray,
+    pds: np.ndarray,
+    months: np.ndarray,
+    lat,
+    lon,
+    *,
+    which=(2, 8),
+) -> Dict[int, Dict[str, float]]:
+    """Month-conditioned regional R^2 (test.ipynb cells 36,40: the Feb/Aug
+    comparison).  ``months``: (N,) month number per timestep."""
+    months = np.asarray(months)
+    out: Dict[int, Dict[str, float]] = {}
+    for m in which:
+        sel = months == m
+        if not sel.any():
+            continue
+        out[m] = {
+            region: float(
+                M.r2(
+                    np.asarray(M.regional_slice(gts[sel], lat, lon, region)),
+                    np.asarray(M.regional_slice(pds[sel], lat, lon, region)),
+                )
+            )
+            for region in M.REGIONS
+        }
+    return out
+
+
+def save_animation_frames(
+    fields: np.ndarray,
+    out_dir: str,
+    *,
+    prefix: str = "frame",
+    cmap: str = "viridis",
+    every: int = 1,
+) -> int:
+    """Export per-timestep maps as PNG frames (test.ipynb cells 31-34's
+    animation, without the notebook display loop).  Returns frame count."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    vmin, vmax = float(np.min(fields)), float(np.max(fields))
+    count = 0
+    for t in range(0, len(fields), every):
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.imshow(fields[t], origin="lower", cmap=cmap, vmin=vmin, vmax=vmax)
+        ax.set_title(f"t={t}")
+        fig.savefig(os.path.join(out_dir, f"{prefix}-{t:05d}.png"),
+                    bbox_inches="tight")
+        plt.close(fig)
+        count += 1
+    return count
+
+
 def save_test_results(path_dir: str, gts: np.ndarray, pds: np.ndarray) -> str:
     """test-results.npy with the reference layout: two consecutive np.save's
     (GTs then PDs) in one file (test.ipynb cell 9)."""
