@@ -98,9 +98,15 @@ def fused_cell_forward(
     b: jnp.ndarray,  # (4*hidden,)
     k: int,
     *,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """SAME-zero-pad fused conv-gate cell.  Returns (h', c') f32."""
+    """SAME-zero-pad fused conv-gate cell.  Returns (h', c') f32.
+
+    interpret=None auto-selects: compiled Mosaic on TPU backends, the
+    Pallas interpreter elsewhere (CPU tests / debugging).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, H, W, C = xh.shape
     hidden = c.shape[-1]
     p = k // 2

@@ -58,3 +58,21 @@ def test_custom_vjp_matches_xla_grads(rng):
             np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
     finally:
         cp.fused_cell_forward = orig
+
+
+def test_full_model_with_pallas_cell(rng):
+    """cell_impl='pallas' through convlstm_apply matches the XLA path
+    (auto-interpret off-TPU)."""
+    from nasa_niswan_tpu.models.convlstm import (
+        ConvLSTMConfig,
+        convlstm_apply,
+        convlstm_init,
+    )
+
+    x = rng.standard_normal((1, 3, 16, 24, 5)).astype(np.float32)
+    base = ConvLSTMConfig(5, (4, 4), (3, 3))
+    params = convlstm_init(jax.random.PRNGKey(0), base)
+    want = convlstm_apply(params, x, base)
+    cfg = ConvLSTMConfig(5, (4, 4), (3, 3), cell_impl="pallas")
+    got = convlstm_apply(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
