@@ -14,11 +14,14 @@ scratch and applies the gate nonlinearities + state update in the same
 kernel, so per step only x, h, c are read and h', c' written.
 
 Layout: NHWC with channels on the lane axis.  The caller pre-concatenates
-[x; h] and zero-pads both spatial axes by k//2 (SAME-conv semantics of the
-padded computational domain), so the kernel is pure DMA + matmul with no
-edge logic.  Grid: (batch, row-tiles).  Adjacent row tiles read overlapping
-row slabs — not expressible as a BlockSpec tiling, so the slab is DMA'd
-from HBM by hand (double-buffer-able later).
+[x; h] and zero-pads columns and channels (SAME-conv semantics; channels
+to a 128-lane multiple, free on the MXU).  Grid: (batch, row-tiles).  A
+conv row tile needs k//2 halo rows from its neighbors; rather than
+overlapping blocks (not expressible as a BlockSpec tiling) or manual HBM
+DMA, the kernel takes the SAME array three times with shifted index maps —
+previous / current / next row tile — and assembles the haloed slab in VMEM
+with zero masking at the domain edges.  All streaming is Pallas-pipelined
+standard block traffic.
 
 Training: ``cell_step_pallas`` carries a custom VJP whose backward
 re-derives gradients from the plain-XLA reference cell (jax.vjp of
@@ -38,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from nasa_niswan_tpu.ops.conv import conv2d
 
 
-def _pick_row_tile(h: int, max_tile: int = 20) -> int:
+def _pick_row_tile(h: int, max_tile: int = 10) -> int:
     """Largest divisor of h that is <= max_tile (static grid, no remainder)."""
     for t in range(min(h, max_tile), 0, -1):
         if h % t == 0:
@@ -47,35 +50,35 @@ def _pick_row_tile(h: int, max_tile: int = 20) -> int:
 
 
 def _cell_kernel(
-    xh_hbm, c_ref, w_ref, b_ref, h_out_ref, c_out_ref, slab, acc_ref, sem,
-    *, k: int, th: int, w_cols: int, hidden: int,
+    prev_ref, cur_ref, next_ref, c_ref, w_ref, b_ref, h_out_ref, c_out_ref,
+    slab, acc_ref, *, k: int, th: int, w_cols: int, hidden: int,
 ):
     """One (batch, row-tile) grid cell.
 
-    xh_hbm: (B, H + 2p, W + 2p, C) in ANY/HBM — fully zero-padded input;
-            the tile's row slab [ti*th, ti*th + th + 2p) is DMA'd here.
+    prev/cur/next_ref: (1, th, Wp, C) VMEM blocks of the column-padded
+        input — row tiles ti-1, ti, ti+1 (clamped at the edges).
     c_ref:  (1, th, w_cols, hidden) VMEM block
     w_ref:  (k, k, C, 4*hidden) VMEM (whole array)
     b_ref:  (1, 4*hidden) VMEM
-    slab:   (th + 2p, W + 2p, C) VMEM scratch
+    slab:   (th + 2p, Wp, C) VMEM scratch — haloed row slab
     acc_ref:(th * w_cols, 4*hidden) f32 scratch
     """
-    bi = pl.program_id(0)
     ti = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
     p = k // 2
 
-    dma = pltpu.make_async_copy(
-        xh_hbm.at[pl.ds(bi, 1), pl.ds(ti * th, th + 2 * p), :, :],
-        slab,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    # assemble the haloed slab; zeros beyond the domain edge (SAME zero pad)
+    slab[p : p + th] = cur_ref[0]
+    if p:
+        top = prev_ref[0, th - p :, :, :]
+        slab[:p] = jnp.where(ti == 0, jnp.zeros_like(top), top)
+        bot = next_ref[0, :p, :, :]
+        slab[p + th :] = jnp.where(ti == n_tiles - 1, jnp.zeros_like(bot), bot)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     for dy in range(k):
         for dx in range(k):
-            window = slab[0, dy : dy + th, dx : dx + w_cols, :]
+            window = slab[dy : dy + th, dx : dx + w_cols, :]
             lhs = window.reshape(th * w_cols, window.shape[-1])
             acc_ref[:] += jnp.dot(
                 lhs, w_ref[dy, dx], preferred_element_type=jnp.float32
@@ -111,58 +114,63 @@ def fused_cell_forward(
     hidden = c.shape[-1]
     p = k // 2
     th = _pick_row_tile(H)
+    if th <= p:
+        # degenerate tiny grids: halo spans beyond one neighbor tile; the
+        # XLA cell handles these (tests/small models only)
+        from nasa_niswan_tpu.models.convlstm import gate_update
+
+        gates = conv2d(xh, w, padding=p) + b
+        return gate_update(gates, c)
     n_tiles = H // th
 
-    # Lane alignment: Mosaic DMAs need the channel (lane) dim to be a
-    # multiple of 128.  Zero-padding channels is free on the MXU — K is
-    # consumed in 128-wide chunks either way — and the extra zero channels
-    # contribute nothing to the conv.
+    # Lane alignment: channel (lane) dim to a 128 multiple — free on the
+    # MXU (K is consumed in 128-wide chunks either way).
     C_pad = -(-C // 128) * 128
     if C_pad != C:
         xh = jnp.pad(xh, ((0, 0), (0, 0), (0, 0), (0, C_pad - C)))
         w = jnp.pad(w, ((0, 0), (0, 0), (0, C_pad - C), (0, 0)))
         C = C_pad
 
-    # SAME-conv zero padding materialized once per step (bandwidth-trivial
-    # next to the conv); lets the kernel skip all edge logic.
-    xh_p = jnp.pad(xh, ((0, 0), (p, p), (p, p), (0, 0)))
+    # SAME-conv column zero padding, materialized once per step.
+    xh_p = jnp.pad(xh, ((0, 0), (0, 0), (p, p), (0, 0)))
+    Wp = W + 2 * p
+
+    def clamp(i):
+        return jnp.clip(i, 0, n_tiles - 1)
+
+    in_block = lambda index_map: pl.BlockSpec(
+        (1, th, Wp, C), index_map, memory_space=pltpu.VMEM
+    )
+    state_block = pl.BlockSpec(
+        (1, th, W, hidden), lambda bi, ti: (bi, ti, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
 
     kernel = functools.partial(_cell_kernel, k=k, th=th, w_cols=W, hidden=hidden)
     h_new, c_new = pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xh_p stays in HBM
-            pl.BlockSpec(
-                (1, th, W, hidden), lambda bi, ti: (bi, ti, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            in_block(lambda bi, ti: (bi, clamp(ti - 1), 0, 0)),  # prev tile
+            in_block(lambda bi, ti: (bi, ti, 0, 0)),  # current tile
+            in_block(lambda bi, ti: (bi, clamp(ti + 1), 0, 0)),  # next tile
+            state_block,  # c
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights (whole array)
             pl.BlockSpec(
                 (1, 4 * hidden), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, th, W, hidden), lambda bi, ti: (bi, ti, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, th, W, hidden), lambda bi, ti: (bi, ti, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        out_specs=[state_block, state_block],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, W, hidden), jnp.float32),
             jax.ShapeDtypeStruct((B, H, W, hidden), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, th + 2 * p, W + 2 * p, C), xh.dtype),
+            pltpu.VMEM((th + 2 * p, Wp, C), xh.dtype),
             pltpu.VMEM((th * W, 4 * hidden), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(xh_p, c, w, b.reshape(1, -1))
+    )(xh_p, xh_p, xh_p, c, w, b.reshape(1, -1))
     return h_new, c_new
 
 
