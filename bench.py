@@ -19,8 +19,33 @@ import time
 import numpy as np
 
 
+def _preflight(timeout_s: float = 180.0) -> None:
+    """Fail fast (instead of hanging the harness) if the TPU worker is
+    unreachable — a tiny computation must materialize within the timeout."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax.numpy as jnp
+
+        np.asarray(jnp.ones(1) + 1)
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        import sys
+
+        print("bench preflight failed: device did not respond", file=sys.stderr)
+        raise SystemExit(1)
+
+
 def main():
     import jax
+
+    _preflight()
 
     from nasa_niswan_tpu.data.dataset import Normalizer
     from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, convlstm_init
