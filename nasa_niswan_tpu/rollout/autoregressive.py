@@ -141,20 +141,23 @@ def make_feedback_rollout_fn(
         xs = jnp.moveaxis(forcings, 1, 0)
         y_mean, y_std = normalizer.y_mean, normalizer.y_std
 
-        def step(prev_pred_norm, x_t):
-            is_first = jnp.all(jnp.isnan(prev_pred_norm))
+        def step(carry, x_t):
+            t, prev_pred_norm = carry
             feedback = jnp.where(
-                is_first,
-                x_t[:, 5],
+                t == 0,
+                x_t[:, 5],  # ground-truth prev conc only at the first step
                 prev_pred_norm * y_std + y_mean,  # back to raw units
             )
             x_t = x_t.at[:, 5].set(feedback)
             x_nhwc = _prep_frame(x_t, normalizer, None, padded_shape)
             pred = apply_fn(params, x_nhwc)
             pred = crop_to_grid(pred[..., 0], grid_shape)
-            return pred, pred * y_std + y_mean
+            return (t + 1, pred), pred * y_std + y_mean
 
-        init = jnp.full((forcings.shape[0], *grid_shape), jnp.nan, jnp.float32)
+        init = (
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((forcings.shape[0], *grid_shape), jnp.float32),
+        )
         _, preds = jax.lax.scan(step, init, xs)
         return jnp.moveaxis(preds, 0, 1)
 
