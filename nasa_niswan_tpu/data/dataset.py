@@ -167,6 +167,17 @@ class SequenceDataset:
         x = np.moveaxis(self._windows[idx], -1, 0)  # (seq, 5, H, W)
         return np.ascontiguousarray(x), self._targets[idx]
 
+    def forcing_stream(self) -> Tuple[np.ndarray, np.ndarray]:
+        """The contiguous raw forcing frames covering this split's windows,
+        plus the aligned targets: frames (T_total, C, H, W) such that
+        frame t0..t0+seq-1 feeds target 0, each later target consumes one
+        new frame.  This is the input layout for the state-carrying rollout
+        (rollout/autoregressive.make_rollout_fn)."""
+        first = np.moveaxis(self._windows[0], -1, 0)  # (seq, C, H, W)
+        rest = self._windows[1:, :, :, :, -1]  # (N-1, C, H, W)
+        frames = np.concatenate([first, rest], axis=0)
+        return np.ascontiguousarray(frames), self._targets.copy()
+
     def with_static(self, x: np.ndarray) -> np.ndarray:
         """Append tiled static channels (dataset.py:119-122,622-624)."""
         if self.static is None:

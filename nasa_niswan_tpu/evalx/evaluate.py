@@ -70,15 +70,10 @@ def predict_test_rollout(
         config, norm, padded_shape=padded_shape, grid_shape=grid_shape,
         static=static, unnormalize=True,
     )
-    # reconstruct the contiguous forcing stream for the test window targets:
-    # window i ends at target step i; feed the raw frames in order
-    windows = dataset._windows  # (N, 5, H, W, seq) strided view
-    first = np.moveaxis(windows[0], -1, 0)  # (seq, 5, H, W) warm-up frames
-    rest = windows[1:, :, :, :, -1]  # (N-1, 5, H, W) one new frame per step
-    frames = np.concatenate([first, rest], axis=0)[None]  # (1, T, 5, H, W)
-    preds, _ = rollout(params, frames)
+    frames, targets = dataset.forcing_stream()
+    preds, _ = rollout(params, frames[None])
     preds = np.asarray(preds)[0, dataset.seq_len - 1 :]
-    return {"GTs": dataset._targets.copy(), "PDs": preds}
+    return {"GTs": targets, "PDs": preds}
 
 
 def evaluation_report(

@@ -69,7 +69,10 @@ def make_seq2seq_train_step(
         yn = (y - y_mean) / y_std  # (B, T, h, w)
         prev0n = (prev0 - y_mean) / y_std
 
-        xs = jnp.moveaxis(xn, 1, 0)  # (T, B, 5, h, w)
+        # pad the 5 forcing channels for ALL steps before the scan (only the
+        # feedback channel changes per step and is padded in the body)
+        xn_pad = jnp.moveaxis(pad_geo(xn, padded_shape), 2, -1)  # (B,T,H,W,5)
+        xs = jnp.moveaxis(xn_pad, 1, 0)  # (T, B, H, W, 5)
         ys = jnp.moveaxis(yn, 1, 0)  # (T, B, h, w)
         draws = jax.random.bernoulli(rng, teacher_prob, (T, B))
 
@@ -84,13 +87,10 @@ def make_seq2seq_train_step(
         def step(carry, inp):
             state, prev_pred = carry
             x_t, y_t, use_teacher = inp
-            # teacher frame: ground truth at t-1 arrives as prev_pred via
-            # the carry when teacher-forced (see below); here we choose
-            # between the carried prediction and the carried truth
-            feedback = prev_pred  # (B, h, w) normalized
-            frame = jnp.concatenate([x_t, feedback[:, None]], axis=1)
-            frame = pad_geo(frame, padded_shape)
-            frame = jnp.moveaxis(frame, 1, -1)[:, None]  # (B, 1, H, W, 6)
+            # the feedback channel (previous truth when teacher-forced, else
+            # the previous prediction — decided at the END of the last step)
+            fb = pad_geo(prev_pred, padded_shape)  # (B, H, W) normalized
+            frame = jnp.concatenate([x_t, fb[..., None]], axis=-1)[:, None]
             pred_pad, new_state = convlstm_apply(
                 params, frame, config, initial_state=state, return_state=True
             )
