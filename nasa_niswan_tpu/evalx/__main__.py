@@ -1,0 +1,104 @@
+"""Evaluation entry point: ``python -m nasa_niswan_tpu.evalx --run-dir <snapshot>``.
+
+The CLI form of the reference's test.ipynb: reload configurations.json (the
+train<->eval contract, cell 3), restore the checkpoint (cell 6), stream the
+test split (cells 7-8), compute the metric battery (cells 12-44), and write
+``test-results.npy`` + ``evaluation.json`` into the run directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate a trained emulator.")
+    p.add_argument("--run-dir", required=True,
+                   help="snapshot dir holding configurations.json + epoch-NNN/")
+    p.add_argument("--epoch", type=int, default=None,
+                   help="epoch checkpoint to load (default: latest)")
+    p.add_argument("--mode", choices=("windowed", "rollout"), default="windowed")
+    p.add_argument("--batch-size", type=int, default=8)
+    args = p.parse_args(argv)
+
+    from nasa_niswan_tpu.core.grid import GridSpec
+    from nasa_niswan_tpu.evalx.evaluate import (
+        evaluation_report,
+        predict_test_rollout,
+        predict_test_set,
+        save_test_results,
+    )
+    from nasa_niswan_tpu.models.registry import build_model
+    from nasa_niswan_tpu.train.checkpoint import latest_epoch_dir, load_checkpoint
+    from nasa_niswan_tpu.train.config import TrainConfig
+    from nasa_niswan_tpu.train.__main__ import build_datasets, load_data
+
+    cfg = TrainConfig.load(os.path.join(args.run_dir, "configurations.json"))
+    cfg.snapshot_dir = args.run_dir
+    bundle = build_model(
+        cfg.model, in_channels=cfg.in_channels,
+        hidden_channels=cfg.hidden_channels, kernel_sizes=cfg.kernel_size,
+        compute_dtype=cfg.compute_dtype, cell_impl=cfg.cell_impl,
+    )
+    data = load_data(cfg)
+    test_ds = (
+        build_datasets(cfg, bundle, data)[0].__class__(
+            data, period="test", species=cfg.species,
+            sequence_length=cfg.sequence_length,
+        )
+        if bundle.is_sequence
+        else build_datasets(cfg, bundle, data)[0].__class__(
+            data, period="test", species=cfg.species, in_channels=cfg.in_channels,
+            transform=cfg.transform,
+        )
+    )
+
+    ckpt_dir = (
+        os.path.join(args.run_dir, f"epoch-{args.epoch:03d}")
+        if args.epoch is not None
+        else latest_epoch_dir(args.run_dir)
+    )
+    if ckpt_dir is None:
+        raise SystemExit(f"no epoch-NNN checkpoint under {args.run_dir}")
+    tmpl_params, tmpl_state = bundle.init(jax.random.PRNGKey(cfg.seed))
+    params, _, meta = load_checkpoint(ckpt_dir, tmpl_params)
+    print("Number of Epochs:", meta.get("epoch"))
+
+    n_static = cfg.in_channels - 5
+    static = data["static"][:n_static] if n_static > 0 and "static" in data else None
+    padded = tuple(cfg.input_size)
+    if args.mode == "rollout" and bundle.is_sequence:
+        out = predict_test_rollout(
+            bundle.config, params, test_ds, padded_shape=padded, static=static
+        )
+    else:
+        out = predict_test_set(
+            bundle, params, tmpl_state, test_ds, padded_shape=padded,
+            batch_size=args.batch_size, static=static,
+        )
+
+    grid = GridSpec(nlat=out["GTs"].shape[-2], nlon=out["GTs"].shape[-1])
+    report = evaluation_report(out["GTs"], out["PDs"], grid.lat, grid.lon)
+    save_test_results(args.run_dir, out["GTs"], out["PDs"])
+    serializable = {
+        k: v for k, v in report.items() if not isinstance(v, np.ndarray)
+    }
+    with open(os.path.join(args.run_dir, "evaluation.json"), "w") as f:
+        json.dump(serializable, f, indent=2)
+    s = report["temporal_r2_summary"]
+    print(
+        f"temporal R2 mean/median/max: {s['mean']:.4f} / {s['median']:.4f} / "
+        f"{s['max']:.4f}"
+    )
+    print("global R2:", f"{report['global_r2']:.4f}",
+          " pearson r:", f"{report['pearson_r']:.4f}")
+    return report
+
+
+if __name__ == "__main__":
+    main()

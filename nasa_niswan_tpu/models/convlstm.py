@@ -47,6 +47,10 @@ class ConvLSTMConfig:
     out_channels: int = 1
     compute_dtype: str = "float32"  # "bfloat16" for MXU-native training/serving
     cell_impl: str = "xla"  # "xla" | "pallas"
+    remat: bool = False  # rematerialize scan steps in the backward pass
+    # (trade FLOPs for activation memory: O(1) stored activations per step
+    # instead of every cell intermediate — enables long-T / 20-level
+    # training within HBM)
 
     def __post_init__(self):
         if len(self.hidden_channels) != len(self.kernel_sizes):
@@ -209,6 +213,8 @@ def convlstm_apply(
             ).astype(jnp.float32)
         return new_carry, tap
 
+    if config.remat:
+        step = jax.checkpoint(step)
     final_state, taps = jax.lax.scan(step, state, xs)
     h_last = final_state[-1][0]
     pred = conv2d(

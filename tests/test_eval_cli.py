@@ -1,0 +1,56 @@
+"""Train-then-evaluate CLI round trip: the configurations.json contract
+carries the run from training into evaluation (test.ipynb cell 3 semantics),
+and evaluation writes test-results.npy + evaluation.json."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def run(cmd, env):
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                         env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out
+
+
+def test_train_then_evaluate(tmp_path):
+    snap = str(tmp_path / "snap")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    run(
+        [
+            sys.executable, "-m", "nasa_niswan_tpu.train",
+            "--model", "LSTM-evalcli", "--hidden-channels", "4",
+            "--kernel-size", "3", "--num-layers", "1",
+            "--sequence-length", "3", "--num-epochs", "1", "--batch-size", "4",
+            "--input-size", "20", "28", "--synthetic-steps", "60",
+            "--synthetic-grid", "16", "24", "--snapshot-dir", snap,
+            "--checkpoint-every", "1",
+        ],
+        env,
+    )
+    out = run(
+        [
+            sys.executable, "-m", "nasa_niswan_tpu.evalx",
+            "--run-dir", snap, "--mode", "windowed",
+        ],
+        env,
+    )
+    assert "temporal R2" in out.stdout
+    assert os.path.exists(os.path.join(snap, "test-results.npy"))
+    report = json.load(open(os.path.join(snap, "evaluation.json")))
+    assert "temporal_r2_summary" in report and "regional_r2" in report
+
+    # rollout mode too
+    out2 = run(
+        [
+            sys.executable, "-m", "nasa_niswan_tpu.evalx",
+            "--run-dir", snap, "--mode", "rollout",
+        ],
+        env,
+    )
+    assert "temporal R2" in out2.stdout
