@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional
 
-import jax
 import numpy as np
 
 from nasa_niswan_tpu.data.dataset import SequenceDataset

@@ -16,7 +16,7 @@ shard (data/pipeline.device_prefetch with a NamedSharding).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

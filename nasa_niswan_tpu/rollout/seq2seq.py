@@ -30,7 +30,6 @@ import optax
 from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
 from nasa_niswan_tpu.data.dataset import Normalizer
 from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, convlstm_apply
-from nasa_niswan_tpu.ops.conv import conv2d
 
 
 def inverse_sigmoid_schedule(epoch: int, k: float = 10.0) -> float:

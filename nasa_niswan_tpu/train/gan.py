@@ -13,8 +13,6 @@ D loss = 0.5 * [BCE(D(x, y), 1) + BCE(D(x, G(x)), 0)]
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import optax
