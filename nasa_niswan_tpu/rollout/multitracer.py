@@ -1,0 +1,107 @@
+"""Multi-tracer serving (BASELINE config #5).
+
+The reference trains one emulator per species (train.py --species).  For
+in-line surrogate use, ModelE needs all tracers every timestep — so the
+TPU-native serving mode runs S per-species emulators as ONE compiled
+program: parameters and normalization constants are stacked on a leading
+species axis and the whole state-carrying rollout is ``jax.vmap``-ed over
+it.  The species axis fuses into the batch dimension of every conv (larger
+MXU tiles, one launch, one carry pytree), and composes with the
+(dp, lat, lon) mesh shardings for decadal spatially-sharded runs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nasa_niswan_tpu.data.dataset import Normalizer
+from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig
+
+
+def stack_params(params_list: Sequence) -> dict:
+    """Stack S identical-structure parameter pytrees on a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def stack_normalizers(norms: Sequence[Normalizer]) -> Normalizer:
+    """Stack per-species normalization constants: (S, C) / (S,) arrays in a
+    Normalizer whose fields broadcast under vmap."""
+    return Normalizer(
+        x_mean=np.stack([n.x_mean for n in norms]),
+        x_std=np.stack([n.x_std for n in norms]),
+        y_mean=np.stack([np.float32(n.y_mean) for n in norms]),
+        y_std=np.stack([np.float32(n.y_std) for n in norms]),
+    )
+
+
+def make_multitracer_rollout(
+    config: ConvLSTMConfig,
+    normalizers: Sequence[Normalizer],
+    *,
+    padded_shape: Tuple[int, int] = (100, 154),
+    grid_shape: Tuple[int, int] = (90, 144),
+):
+    """Compiled rollout over S species at once.
+
+    Returns ``rollout(stacked_params, forcings, state=None)`` with
+    ``forcings`` (S, B, T, C, H, W) — per-species forcing streams (the
+    meteorology repeats; the emission channel differs per species) — and
+    output (S, B, T, h, w) physical-unit predictions + stacked carry.
+    """
+    stacked = stack_normalizers(normalizers)
+
+    # make_rollout_fn bakes the normalizer in as constants; under vmap the
+    # per-species constants are vmapped operands instead
+    def single_dyn(params, forcings, x_mean, x_std, y_mean, y_std, state):
+        from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
+        from nasa_niswan_tpu.models.convlstm import convlstm_apply
+        from nasa_niswan_tpu.ops.conv import conv2d
+
+        B, T = forcings.shape[:2]
+        x = (forcings - x_mean.reshape(-1, 1, 1)) / x_std.reshape(-1, 1, 1)
+        x = jnp.moveaxis(pad_geo(x, padded_shape), -3, -1)
+        compute_dtype = jnp.dtype(config.compute_dtype)
+
+        def tap(h_last):
+            p = conv2d(
+                h_last.astype(compute_dtype),
+                params["head"]["w"].astype(compute_dtype),
+                params["head"]["b"],
+            ).astype(jnp.float32)
+            return crop_to_grid(p[..., 0], grid_shape) * y_std + y_mean
+
+        _, preds, new_state = convlstm_apply(
+            params, x, config, return_per_step=True, initial_state=state,
+            return_state=True, tap_fn=tap,
+        )
+        return preds, new_state
+
+    vmapped = jax.vmap(single_dyn)
+
+    @jax.jit
+    def rollout(stacked_params, forcings, state=None):
+        S, B = forcings.shape[:2]
+        H, W = padded_shape
+        if state is None:
+            state = [
+                (
+                    jnp.zeros((S, B, H, W, hc), jnp.float32),
+                    jnp.zeros((S, B, H, W, hc), jnp.float32),
+                )
+                for hc in config.hidden_channels
+            ]
+        return vmapped(
+            stacked_params,
+            forcings,
+            jnp.asarray(stacked.x_mean),
+            jnp.asarray(stacked.x_std),
+            jnp.asarray(stacked.y_mean),
+            jnp.asarray(stacked.y_std),
+            state,
+        )
+
+    return rollout

@@ -1,0 +1,49 @@
+"""Multi-tracer vmapped rollout equals per-species rollouts."""
+
+import jax
+import numpy as np
+
+from nasa_niswan_tpu.data.dataset import Normalizer
+from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, convlstm_init
+from nasa_niswan_tpu.rollout.autoregressive import make_rollout_fn
+from nasa_niswan_tpu.rollout.multitracer import make_multitracer_rollout, stack_params
+
+GRID = (12, 16)
+PADDED = (16, 20)
+
+
+def test_multitracer_matches_per_species():
+    cfg = ConvLSTMConfig(5, (4,), (3,))
+    rng = np.random.default_rng(0)
+    params_list, norms, forcings = [], [], []
+    for s in range(3):
+        params_list.append(convlstm_init(jax.random.PRNGKey(s), cfg))
+        norms.append(
+            Normalizer(
+                x_mean=rng.standard_normal(5).astype(np.float32),
+                x_std=(1 + rng.random(5)).astype(np.float32),
+                y_mean=float(rng.standard_normal()),
+                y_std=float(1 + rng.random()),
+            )
+        )
+        forcings.append(rng.standard_normal((2, 4, 5, *GRID)).astype(np.float32))
+
+    multi = make_multitracer_rollout(cfg, norms, padded_shape=PADDED,
+                                     grid_shape=GRID)
+    preds, state = multi(stack_params(params_list), np.stack(forcings))
+    assert preds.shape == (3, 2, 4, *GRID)
+
+    for s in range(3):
+        single = make_rollout_fn(cfg, norms[s], padded_shape=PADDED,
+                                 grid_shape=GRID)
+        want, _ = single(params_list[s], forcings[s])
+        np.testing.assert_allclose(np.asarray(preds[s]), np.asarray(want),
+                                   atol=1e-5)
+
+    # state chunking works for the stacked rollout too
+    a, st = multi(stack_params(params_list), np.stack(forcings)[:, :, :2])
+    b, _ = multi(stack_params(params_list), np.stack(forcings)[:, :, 2:], st)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(a), np.asarray(b)], axis=2),
+        np.asarray(preds), atol=1e-5,
+    )
