@@ -59,7 +59,6 @@ def make_seq2seq_train_step(
     x_mean = jnp.asarray(normalizer.x_mean).reshape(-1, 1, 1)
     x_std = jnp.asarray(normalizer.x_std).reshape(-1, 1, 1)
     y_mean, y_std = normalizer.y_mean, normalizer.y_std
-    compute_dtype = jnp.dtype(config.compute_dtype)
 
     def forward_chunk(params, x, prev0, y, rng, teacher_prob):
         B, T = x.shape[:2]

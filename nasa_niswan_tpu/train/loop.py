@@ -117,13 +117,23 @@ def make_train_step(
     padded_shape: Optional[Tuple[int, int]],
     grid_shape: Tuple[int, int] = (90, 144),
     static: Optional[np.ndarray] = None,
+    donate: Optional[bool] = None,
 ) -> Callable:
-    """Single-device jitted train step."""
+    """Single-device jitted train step.
+
+    donate=None auto-enables buffer donation of (params, opt_state) on
+    accelerator backends — the updated pytrees reuse the old buffers,
+    halving their HBM footprint.  Callers that re-use the pre-step params
+    (e.g. parity tests) must pass donate=False.
+    """
+    if donate is None:
+        donate = jax.default_backend() not in ("cpu",)
     return jax.jit(
         build_train_step_fn(
             bundle, normalizer, optimizer, padded_shape=padded_shape,
             grid_shape=grid_shape, static=static,
-        )
+        ),
+        donate_argnums=(0, 2) if donate else (),
     )
 
 
