@@ -89,6 +89,7 @@ def synthetic_e33oma_90d(
     nlev: int = 1,
     n_static: int = 3,
     seed: int = 0,
+    burn_in: int = 300,
 ) -> Dict[str, np.ndarray]:
     """Generate an E33OMA-90Days-shaped dataset.
 
@@ -98,19 +99,26 @@ def synthetic_e33oma_90d(
     standing in for static_attrs.nc (dataset.py:100-122).
     """
     rng = np.random.default_rng(seed)
-    u = _spectral_field(rng, T, H, W, mean=0.2, amp=6.0)
-    v = _spectral_field(rng, T, H, W, mean=0.3, amp=5.0)
-    omega = _spectral_field(rng, T, H, W, mean=0.0, amp=6e-5)
-    prec = np.maximum(_spectral_field(rng, T, H, W, mean=1.0, amp=6.0), 0.0)
+    # generate burn_in extra leading steps so the advected tracer reaches
+    # statistical steady state (relaxation time ~ 1/(decay*dt) = 250 steps);
+    # without it the test-period tail sits far above the training range and
+    # every split comparison measures spin-up drift instead of skill
+    Tb = T + burn_in
+    u = _spectral_field(rng, Tb, H, W, mean=0.2, amp=6.0)
+    v = _spectral_field(rng, Tb, H, W, mean=0.3, amp=5.0)
+    omega = _spectral_field(rng, Tb, H, W, mean=0.0, amp=6e-5)
+    prec = np.maximum(_spectral_field(rng, Tb, H, W, mean=1.0, amp=6.0), 0.0)
 
     # localized bursty emissions (biomass-burning flavor)
-    src = np.zeros((T, H, W), np.float32)
     base = np.maximum(_spectral_field(rng, 1, H, W, amp=3.0)[0], 0.0) ** 2
-    season = 1.0 + 0.5 * np.sin(2 * np.pi * np.arange(T) / max(T, 1))
+    season = 1.0 + 0.5 * np.sin(2 * np.pi * np.arange(Tb) / max(Tb, 1))
     src = base[None] * season[:, None, None].astype(np.float32)
-    src *= rng.uniform(0.5, 1.5, size=(T, 1, 1)).astype(np.float32)
+    src *= rng.uniform(0.5, 1.5, size=(Tb, 1, 1)).astype(np.float32)
 
     conc = _advect_tracer(u * 0.1, v * 0.1, src)
+    u, v, omega, prec, src, conc = (
+        a[burn_in:] for a in (u, v, omega, prec, src, conc)
+    )
     if nlev > 1:
         # vertical structure: exponential decay with level plus small jitter
         profile = np.exp(-np.arange(nlev, dtype=np.float32) / 6.0)
