@@ -63,7 +63,11 @@ def build_model(
     cell_impl: str = "xla",
     precompute_input_conv: bool = False,
     unet_features: Tuple[int, ...] = (64, 128, 256, 512),
+    remat: bool = True,
 ) -> ModelBundle:
+    """remat defaults True: training the canonical config (bs 8, T=48,
+    100x154) OOMs a 16 GB chip without per-step rematerialization, and the
+    recompute cost is minor next to the conv FLOPs."""
     family = model_family(model_name)
 
     if family == "LSTM":
@@ -73,6 +77,7 @@ def build_model(
             kernel_sizes=tuple(kernel_sizes),
             compute_dtype=compute_dtype,
             cell_impl=cell_impl,
+            remat=remat,
         )
 
         def init(rng):

@@ -25,13 +25,19 @@ def conv2d(
     stride: int | Tuple[int, int] = 1,
     padding: str | int | Tuple[int, int] = 0,
     pad_mode: str = "zeros",
-    preferred_dtype: jnp.dtype = jnp.float32,
+    preferred_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """2-D convolution (cross-correlation, torch semantics) over NHWC input.
 
     ``padding``: int p means p rows/cols of padding on each side (torch
     Conv2d convention).  ``pad_mode='reflect'`` matches torch
     ``padding_mode='reflect'`` used by the pix2pix blocks (model.py:10,25).
+
+    Output dtype follows the input dtype (preferred_dtype=None): on TPU the
+    MXU still accumulates in f32 internally for bf16 inputs, and a
+    same-dtype output keeps the conv's autodiff transpose type-consistent
+    (an explicit f32 preferred_element_type breaks grad for bf16 inputs).
+    Downstream f32 math (bias add, gate nonlinearities) upcasts naturally.
     """
     if isinstance(stride, int):
         stride = (stride, stride)
@@ -70,7 +76,7 @@ def conv2d_transpose(
     *,
     stride: int | Tuple[int, int] = 2,
     padding: int = 0,
-    preferred_dtype: jnp.dtype = jnp.float32,
+    preferred_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Transposed 2-D convolution matching torch ``ConvTranspose2d``.
 
