@@ -57,7 +57,9 @@ def main():
     LEVELS = 20
     C = 4 * LEVELS + 1  # u,v,omega,prec per level + surface emission
     BATCH = 1
-    STEPS = 96  # 2 emulated model-days per call (steady-state scan cost)
+    STEPS = 384  # 8 emulated model-days per call: long enough to amortize
+    # the fixed per-launch cost (~29 ms through the dev tunnel) and measure
+    # the sustained scan rate (~0.46 ms/step marginal on v5e)
     PADDED = (100, 154)
     GRID = (90, 144)
 
