@@ -35,16 +35,25 @@ from nasa_niswan_tpu.data.dataset import Normalizer, zscore_static
 from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, convlstm_apply
 
 
-def _prep_frame(x, normalizer, static, padded_shape):
-    """One raw forcing frame (B, C, H, W) -> padded NHWC."""
+def _prep_frame(x, normalizer, static, padded_shape, cast_dtype=None):
+    """Raw forcing frames (..., C, H, W) -> padded NHWC.
+
+    ``cast_dtype``: cast right after normalization (normalize in f32, pad
+    and transpose in the compute dtype).  The conv consumes bf16 anyway;
+    casting early halves the two largest rollout buffers, which decides
+    whether a large-batch chunk fits HBM at all.
+    """
     x_mean = jnp.asarray(normalizer.x_mean).reshape(-1, 1, 1)
     x_std = jnp.asarray(normalizer.x_std).reshape(-1, 1, 1)
     x = (x - x_mean) / x_std
+    if cast_dtype is not None:
+        x = x.astype(cast_dtype)
     if static is not None:
         st = jnp.asarray(static)
         x = jnp.concatenate(
-            [x, jnp.broadcast_to(st, x.shape[:-3] + st.shape)], axis=-3
-        )
+            [x.astype(jnp.float32), jnp.broadcast_to(st, x.shape[:-3] + st.shape)],
+            axis=-3,
+        ).astype(cast_dtype if cast_dtype is not None else jnp.float32)
     if padded_shape is not None:
         x = pad_geo(x, padded_shape)
     return jnp.moveaxis(x, -3, -1)
@@ -85,9 +94,9 @@ def make_rollout_fn(
         # Preprocess ALL frames in one vectorized op before the scan — a
         # per-step pad/transpose inside the scan body costs far more than
         # the cell compute itself (measured ~30x on v5e at batch 1).
-        xs = _prep_frame(forcings, normalizer, static_z, padded_shape)
-
         compute_dtype = jnp.dtype(config.compute_dtype)
+        cast = compute_dtype if compute_dtype != jnp.float32 else None
+        xs = _prep_frame(forcings, normalizer, static_z, padded_shape, cast)
 
         def tap(h_last):
             # head conv + crop + squeeze inside the scan: emitting the
