@@ -31,6 +31,13 @@ def _require_mpl():
         raise ImportError("matplotlib is required for plotting utilities")
 
 
+def make_saving_path(root: str, fformat: str, name: str) -> str:
+    """Figure-path helper (reference utils.py:121-122)."""
+    import os
+
+    return os.path.join(root, f"{name}.{fformat}")
+
+
 def qqplot(
     y_test: np.ndarray,
     y_pred: np.ndarray,
