@@ -36,7 +36,7 @@ def main(argv=None):
     from nasa_niswan_tpu.models.registry import build_model
     from nasa_niswan_tpu.train.checkpoint import latest_epoch_dir, load_checkpoint
     from nasa_niswan_tpu.train.config import TrainConfig
-    from nasa_niswan_tpu.train.__main__ import build_datasets, load_data
+    from nasa_niswan_tpu.train.__main__ import load_data
 
     cfg = TrainConfig.load(os.path.join(args.run_dir, "configurations.json"))
     cfg.snapshot_dir = args.run_dir
@@ -46,17 +46,20 @@ def main(argv=None):
         compute_dtype=cfg.compute_dtype, cell_impl=cfg.cell_impl,
     )
     data = load_data(cfg)
-    test_ds = (
-        build_datasets(cfg, bundle, data)[0].__class__(
+    if bundle.is_sequence:
+        from nasa_niswan_tpu.data.dataset import SequenceDataset
+
+        test_ds = SequenceDataset(
             data, period="test", species=cfg.species,
             sequence_length=cfg.sequence_length,
         )
-        if bundle.is_sequence
-        else build_datasets(cfg, bundle, data)[0].__class__(
-            data, period="test", species=cfg.species, in_channels=cfg.in_channels,
-            transform=cfg.transform,
+    else:
+        from nasa_niswan_tpu.data.dataset import SingleStepDataset
+
+        test_ds = SingleStepDataset(
+            data, period="test", species=cfg.species,
+            in_channels=cfg.in_channels, transform=cfg.transform,
         )
-    )
 
     ckpt_dir = (
         os.path.join(args.run_dir, f"epoch-{args.epoch:03d}")
