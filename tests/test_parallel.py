@@ -146,3 +146,32 @@ def test_halo_exchange_geo_cyclic_lon(rng):
     np.testing.assert_allclose(tile[0, pad : pad + 4, pad : pad + 6], x[0, 0:4, 0:6])
     # lat halo at the pole edge is zero
     np.testing.assert_allclose(tile[0, :pad, pad : pad + 6], 0.0)
+
+
+def test_rollout_with_spatial_input_sharding(rng):
+    """The compiled rollout runs unchanged with spatially sharded forcings:
+    GSPMD propagates (dp, lat, lon) shardings through preprocessing, the
+    scan, and the taps — the decadal sharded-rollout path (config #5)."""
+    from jax.sharding import NamedSharding
+
+    from nasa_niswan_tpu.data.dataset import Normalizer
+    from nasa_niswan_tpu.rollout.autoregressive import make_rollout_fn
+
+    cfg = ConvLSTMConfig(5, (4,), (3,))
+    params = convlstm_init(jax.random.PRNGKey(0), cfg)
+    norm = Normalizer(
+        x_mean=np.zeros(5, np.float32), x_std=np.ones(5, np.float32),
+        y_mean=0.0, y_std=2.0,
+    )
+    rollout = make_rollout_fn(cfg, norm, padded_shape=(20, 28),
+                              grid_shape=(16, 24))
+    forcings = rng.standard_normal((2, 4, 5, 16, 24)).astype(np.float32)
+
+    want, _ = rollout(params, forcings)
+
+    mesh = make_mesh(dp=2, lat=2, lon=2)
+    sharded = jax.device_put(
+        forcings, NamedSharding(mesh, P("dp", None, None, "lat", "lon"))
+    )
+    got, _ = rollout(params, sharded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
