@@ -135,3 +135,21 @@ def test_checkpoint_lr_override(tmp_path):
     # explicit lr wins when given (utils.py:44-46)
     _, _, meta = load_checkpoint(d, params, opt_state, lr=1e-5)
     assert meta["learning_rate"] == pytest.approx(1e-5)
+
+
+def test_training_with_static_channels(tmp_path, data):
+    """The canonical launcher config (in_channels 8 = 5 dynamic + 3 static,
+    launcher.sh:14): static channels are appended on device as constants."""
+    cfg = small_lstm_config(tmp_path, num_epochs=1, in_channels=8,
+                            snapshot_dir=str(tmp_path / "snap8"),
+                            checkpoint_every=0)
+    bundle = build_model(
+        cfg.model, in_channels=8, hidden_channels=cfg.hidden_channels,
+        kernel_sizes=cfg.kernel_size,
+    )
+    tr = SequenceDataset(data, period="train", sequence_length=cfg.sequence_length)
+    va = SequenceDataset(data, period="val", sequence_length=cfg.sequence_length)
+    out = fit(bundle, tr, va, cfg, static=data["static"], verbose=False)
+    assert np.isfinite(out["logger"]["MSELoss"][0])
+    # the input conv consumed 8 channels
+    assert out["params"]["cells"][0]["w_x"].shape[2] == 8
