@@ -12,6 +12,8 @@ host constructing its own slice of the global batch).
 from __future__ import annotations
 
 import collections
+import queue as queue_mod
+import threading
 from typing import Iterator, Optional, Tuple
 
 import jax
@@ -67,3 +69,88 @@ def device_prefetch(
             yield queue.popleft()
     while queue:
         yield queue.popleft()
+
+
+class _Stop:
+    pass
+
+
+_STOP = _Stop()
+
+
+def async_batches(
+    dataset,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+    epoch: int = 0,
+    prefetch: int = 2,
+    sharding: Optional[jax.sharding.Sharding] = None,
+    to_device: bool = True,
+) -> Iterator:
+    """Background-thread batch pipeline (the DataLoader-workers role,
+    train.py:67-68 / num_workers at train.py:197-198 — re-designed for one
+    host feeding a TPU).
+
+    A producer thread runs ``__getitem__`` + ``np.stack`` + the H2D
+    ``jax.device_put`` for up to ``prefetch`` batches ahead of the consumer,
+    so host batch assembly and the H2D DMA both overlap the current step's
+    device compute.  numpy slicing/stacking releases the GIL, and
+    ``device_put`` is async (returns before the DMA completes), so a single
+    producer thread suffices even on a 1-core host.
+
+    The queue is bounded: at most ``prefetch`` assembled batches are alive,
+    so host RSS stays flat regardless of epoch length.  Producer exceptions
+    are re-raised in the consumer.  The generator's ``close()`` (invoked by
+    ``break``/GC) shuts the producer down.
+    """
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+
+    def put(batch):
+        if not to_device:
+            return batch
+        if sharding is None:
+            return jax.device_put(batch)
+        return jax.device_put(batch, sharding)
+
+    def producer():
+        try:
+            it = batch_iterator(
+                dataset,
+                batch_size,
+                shuffle=shuffle,
+                seed=seed,
+                drop_last=drop_last,
+                epoch=epoch,
+            )
+            for batch in it:
+                if stop.is_set():
+                    return
+                q.put(put(batch))
+            q.put(_STOP)
+        except BaseException as e:  # surfaced in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True, name="batch-producer")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _STOP:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a blocked producer can observe `stop` and exit
+        try:
+            while True:
+                q.get_nowait()
+        except queue_mod.Empty:
+            pass
+        t.join(timeout=5.0)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from nasa_niswan_tpu.core.padding import crop_to_grid
 from nasa_niswan_tpu.data.dataset import Normalizer
 from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, gate_update
 from nasa_niswan_tpu.models.registry import ModelBundle
@@ -71,21 +72,30 @@ def make_spatial_train_step(
     )
 
 
-def _local_convlstm_forward(params, x_local, config: ConvLSTMConfig):
+def _vary(z):
+    """Mark shard-local zeros as device-varying so scan carry types line up
+    under shard_map's varying-manual-axes typing."""
+    return jax.lax.pcast(z, ("dp", "lat", "lon"), to="varying")
+
+
+def _local_convlstm_forward(
+    params,
+    x_local,
+    state,
+    config: ConvLSTMConfig,
+    collect_taps: bool = False,
+    compute_dtype=None,
+):
     """shard_map body: ConvLSTM scan on a local (B, T, h, w, C) tile with
     explicit halo-exchange convs.  Mirrors models/convlstm.convlstm_apply
-    (same gate math, zero-init carry) with sharded convs."""
-    B, T, h, w, _ = x_local.shape
-    # mark the zero carry as device-varying so scan's carry types line up
-    # (shard_map varying-manual-axes typing)
-    vary = lambda z: jax.lax.pvary(z, ("dp", "lat", "lon"))
-    state = [
-        (
-            vary(jnp.zeros((B, h, w, hc), jnp.float32)),
-            vary(jnp.zeros((B, h, w, hc), jnp.float32)),
-        )
-        for hc in config.hidden_channels
-    ]
+    (same gate math) with sharded convs; the (h, c) carry lives shard-local
+    across the whole scan (zero inter-step state movement — the CP analog
+    for a recurrent spatial model).
+
+    Returns (pred_last (B,h,w,1), taps (T,B,h,w,1) or None, final state).
+    """
+    dt = jnp.dtype(compute_dtype or config.compute_dtype)
+    state = [tuple(s) for s in state]
     xs = jnp.moveaxis(x_local, 1, 0)
 
     def step(carry, x_t):
@@ -96,19 +106,44 @@ def _local_convlstm_forward(params, x_local, config: ConvLSTMConfig):
             cell = params["cells"][li]
             hprev, cprev = carry[li]
             gates = (
-                sharded_conv2d(inp, cell["w_x"], pad=k // 2)
-                + sharded_conv2d(hprev, cell["w_h"], pad=k // 2)
+                sharded_conv2d(inp.astype(dt), cell["w_x"].astype(dt), pad=k // 2)
+                + sharded_conv2d(hprev.astype(dt), cell["w_h"].astype(dt), pad=k // 2)
                 + cell["b"]
             )
             hnew, cnew = gate_update(gates, cprev)
             new_carry.append((hnew, cnew))
             inp = hnew
-        return new_carry, None
+        tap = None
+        if collect_taps:
+            # 1x1 head is purely local
+            tap = conv2d(
+                inp.astype(dt),
+                params["head"]["w"].astype(dt),
+                params["head"]["b"],
+            ).astype(jnp.float32)
+        return new_carry, tap
 
-    final, _ = jax.lax.scan(step, state, xs)
+    final, taps = jax.lax.scan(step, state, xs)
     h_last = final[-1][0]
-    # 1x1 head is purely local
-    return conv2d(h_last, params["head"]["w"], params["head"]["b"])
+    pred = conv2d(
+        h_last.astype(dt), params["head"]["w"].astype(dt), params["head"]["b"]
+    ).astype(jnp.float32)
+    return pred, taps, final
+
+
+def _zero_state(config: ConvLSTMConfig, B: int, h: int, w: int):
+    return [
+        (_vary(jnp.zeros((B, h, w, hc), jnp.float32)),
+         _vary(jnp.zeros((B, h, w, hc), jnp.float32)))
+        for hc in config.hidden_channels
+    ]
+
+
+_STATE_SPEC_LEAF = P("dp", "lat", "lon", None)
+
+
+def _state_specs(config: ConvLSTMConfig):
+    return [(_STATE_SPEC_LEAF, _STATE_SPEC_LEAF) for _ in config.hidden_channels]
 
 
 def convlstm_apply_sharded(
@@ -117,7 +152,14 @@ def convlstm_apply_sharded(
     """Spatially sharded ConvLSTM forward: x (B, T, H, W, C) on the padded
     domain, sharded (dp, -, lat, lon, -); returns (B, H, W, 1) sharded
     (dp, lat, lon, -).  Bit-compatible with convlstm_apply."""
-    fn = partial(_local_convlstm_forward, config=config)
+
+    def fn(params, x_local):
+        B, _, h, w, _ = x_local.shape
+        pred, _, _ = _local_convlstm_forward(
+            params, x_local, _zero_state(config, B, h, w), config
+        )
+        return pred
+
     return jax.jit(
         jax.shard_map(
             fn,
@@ -126,3 +168,81 @@ def convlstm_apply_sharded(
             out_specs=P("dp", "lat", "lon", None),
         )
     )(params, x)
+
+
+def make_sharded_rollout_fn(
+    config: ConvLSTMConfig,
+    normalizer: Normalizer,
+    mesh: Mesh,
+    *,
+    padded_shape: Tuple[int, int] = (100, 154),
+    grid_shape: Tuple[int, int] = (90, 144),
+    static: Optional[np.ndarray] = None,
+    unnormalize: bool = True,
+):
+    """State-carrying autoregressive rollout on the explicit-halo shard_map
+    path — the hand-tuned serving kernel for BASELINE config #5 (decadal
+    multi-tracer rollout with the grid sharded over the mesh).
+
+    Same contract as rollout/autoregressive.make_rollout_fn:
+    ``rollout(params, forcings, initial_state=None) -> (preds, state)`` with
+    raw (B, T, C, H, W) forcings, (B, T, h, w) physical-unit predictions,
+    and a per-layer (h, c) carry (sharded (dp, lat, lon, -)) for chunked
+    continuation.  Normalization/padding run as plain GSPMD-sharded ops
+    outside the shard_map; the scan itself is manual: one ring ppermute per
+    axis per conv, carry resident shard-local for the whole chunk.
+    """
+    from nasa_niswan_tpu.data.dataset import zscore_static
+    from nasa_niswan_tpu.rollout.autoregressive import _prep_frame
+
+    static_z = None if static is None else zscore_static(static)
+    H, W = padded_shape
+    state_sharding = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        _state_specs(config),
+        is_leaf=lambda s: isinstance(s, P),
+    )
+
+    body = jax.shard_map(
+        lambda params, xs, state: _local_convlstm_forward(
+            params, xs, state, config, collect_taps=True
+        ),
+        mesh=mesh,
+        in_specs=(P(), P("dp", None, "lat", "lon", None), _state_specs(config)),
+        out_specs=(
+            P("dp", "lat", "lon", None),
+            P(None, "dp", "lat", "lon", None),
+            _state_specs(config),
+        ),
+    )
+
+    @jax.jit
+    def rollout(params, forcings, initial_state=None):
+        B = forcings.shape[0]
+        if initial_state is None:
+            initial_state = [
+                (jnp.zeros((B, H, W, hc), jnp.float32),
+                 jnp.zeros((B, H, W, hc), jnp.float32))
+                for hc in config.hidden_channels
+            ]
+        compute_dtype = jnp.dtype(config.compute_dtype)
+        cast = compute_dtype if compute_dtype != jnp.float32 else None
+        xs = _prep_frame(forcings, normalizer, static_z, padded_shape, cast)
+        _, taps, state = body(params, xs, initial_state)
+        preds = jnp.moveaxis(taps[..., 0], 0, 1)  # (B, T, H, W) padded
+        preds = crop_to_grid(preds, grid_shape)
+        if unnormalize:
+            preds = normalizer.unnormalize_y(preds)
+        return preds, state
+
+    def rollout_with_placement(params, forcings, initial_state=None):
+        forcings = jax.device_put(
+            forcings, NamedSharding(mesh, P("dp", None, None, "lat", "lon"))
+        )
+        if initial_state is not None:
+            initial_state = jax.device_put(
+                [tuple(s) for s in initial_state], state_sharding
+            )
+        return rollout(params, forcings, initial_state)
+
+    return rollout_with_placement

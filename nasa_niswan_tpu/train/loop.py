@@ -31,7 +31,7 @@ import optax
 
 from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
 from nasa_niswan_tpu.data.dataset import Normalizer, zscore_static
-from nasa_niswan_tpu.data.pipeline import batch_iterator, device_prefetch
+from nasa_niswan_tpu.data.pipeline import async_batches, batch_iterator, device_prefetch
 from nasa_niswan_tpu.evalx.metrics import r2
 from nasa_niswan_tpu.models.registry import ModelBundle
 from nasa_niswan_tpu.train.checkpoint import save_checkpoint
@@ -256,12 +256,9 @@ def fit(
             opt_state, step_lr(config.learning_rate, step_size, gamma, epoch - 1)
         )
         losses, r2s = [], []
-        batches = device_prefetch(
-            batch_iterator(
-                train_dataset, config.batch_size, shuffle=True,
-                seed=config.seed, epoch=epoch,
-            ),
-            sharding=batch_sharding,
+        batches = async_batches(
+            train_dataset, config.batch_size, shuffle=True,
+            seed=config.seed, epoch=epoch, sharding=batch_sharding,
         )
         for x_raw, y_raw in batches:
             rng, step_rng = jax.random.split(rng)
@@ -272,14 +269,23 @@ def fit(
             r2s.append(metrics["r2"])
 
         val_scores = []
-        # val keeps static shapes too (mesh-sharded batches must divide evenly)
-        for x_raw, y_raw in device_prefetch(
-            batch_iterator(val_dataset, config.batch_size, shuffle=False,
-                           drop_last=mesh is not None),
-            sharding=batch_sharding,
+        # val keeps static shapes: a partial final batch is padded up to
+        # batch_size (repeat-last) and only the valid per-sample scores kept,
+        # so mesh-sharded validation covers the whole set (no remainder drop)
+        for x_raw, y_raw in async_batches(
+            val_dataset, config.batch_size, shuffle=False, drop_last=False,
+            to_device=False,
         ):
+            n_valid = x_raw.shape[0]
+            if n_valid < config.batch_size:
+                reps = config.batch_size - n_valid
+                x_raw = np.concatenate([x_raw, np.repeat(x_raw[-1:], reps, 0)])
+                y_raw = np.concatenate([y_raw, np.repeat(y_raw[-1:], reps, 0)])
+            if batch_sharding is not None:
+                x_raw = jax.device_put(x_raw, batch_sharding)
+                y_raw = jax.device_put(y_raw, batch_sharding)
             per_sample, _ = eval_step(params, state, x_raw, y_raw)
-            val_scores.append(per_sample)
+            val_scores.append(per_sample[:n_valid])
 
         logger["MSELoss"].append(float(jnp.mean(jnp.stack(losses))))
         logger["r2_score"].append(float(jnp.mean(jnp.stack(r2s))))

@@ -175,3 +175,37 @@ def test_rollout_with_spatial_input_sharding(rng):
     )
     got, _ = rollout(params, sharded)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_manual_sharded_rollout_parity_and_continuation(rng):
+    """The explicit-halo shard_map rollout (parallel/spatial.
+    make_sharded_rollout_fn) matches the single-device compiled rollout
+    bit-for-bit, including chunked state continuation — the hand-tuned
+    serving path for the decadal config #5."""
+    from nasa_niswan_tpu.data.dataset import Normalizer
+    from nasa_niswan_tpu.parallel.spatial import make_sharded_rollout_fn
+    from nasa_niswan_tpu.rollout.autoregressive import make_rollout_fn
+
+    cfg = ConvLSTMConfig(5, (8, 8), (5, 3))
+    params = convlstm_init(jax.random.PRNGKey(0), cfg)
+    norm = Normalizer(
+        x_mean=np.zeros(5, np.float32), x_std=np.ones(5, np.float32),
+        y_mean=0.5, y_std=2.0,
+    )
+    grid, padded = (24, 36), (32, 44)
+    f1 = rng.standard_normal((2, 6, 5, *grid)).astype(np.float32)
+    f2 = rng.standard_normal((2, 6, 5, *grid)).astype(np.float32)
+
+    ref = make_rollout_fn(cfg, norm, padded_shape=padded, grid_shape=grid)
+    want1, s_ref = ref(params, f1)
+    want2, _ = ref(params, f2, s_ref)
+
+    mesh = make_mesh(dp=2, lat=2, lon=2)
+    sh = make_sharded_rollout_fn(
+        cfg, norm, mesh, padded_shape=padded, grid_shape=grid
+    )
+    got1, s_sh = sh(params, f1)
+    got2, _ = sh(params, f2, s_sh)
+
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
