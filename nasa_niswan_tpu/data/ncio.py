@@ -1,0 +1,251 @@
+"""Minimal netCDF I/O with no-leap calendar decoding — xarray-free.
+
+The reference reads ModelE daily netCDF output through xarray + cftime
+(dataset.py:144-147 converts the no-leap DatetimeNoLeap index to pandas).
+Neither library ships in the TPU image, so this module provides the small
+subset the ingestion path actually needs:
+
+  * ``open_nc(path)`` — read a netCDF file's variables and decoded time
+    axis.  Uses xarray when installed (netCDF4/HDF5 files), otherwise a
+    built-in ``scipy.io.netcdf_file`` backend (netCDF3 classic — the
+    format of ModelE's ``aij*`` diagnostics and of the test fixtures).
+  * ``write_nc(path, ...)`` — netCDF3 writer (scipy) for fixtures and the
+    offline static-attrs builder.
+  * ``decode_noleap_times(values, units, calendar)`` — "<unit> since
+    <base>" decoding under the 365-day no-leap calendar, matching
+    cftime's ``to_datetimeindex()`` mapping of calendar dates onto
+    proleptic-Gregorian pandas timestamps.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+try:  # pragma: no cover - exercised only where xarray is installed
+    import xarray as _xr
+
+    HAVE_XARRAY = True
+except ImportError:  # pragma: no cover
+    _xr = None
+    HAVE_XARRAY = False
+
+
+_UNIT_SECONDS = {
+    "second": 1.0,
+    "seconds": 1.0,
+    "sec": 1.0,
+    "secs": 1.0,
+    "minute": 60.0,
+    "minutes": 60.0,
+    "min": 60.0,
+    "mins": 60.0,
+    "hour": 3600.0,
+    "hours": 3600.0,
+    "hr": 3600.0,
+    "hrs": 3600.0,
+    "day": 86400.0,
+    "days": 86400.0,
+}
+
+_NOLEAP_MONTH_DAYS = np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
+_NOLEAP_CUM = np.concatenate([[0], np.cumsum(_NOLEAP_MONTH_DAYS)])  # per month
+
+
+def _parse_time_units(units: str) -> Tuple[float, Tuple[int, int, int, int, int, int]]:
+    """'hours since 1950-1-1 00:00:00' -> (3600.0, (1950,1,1,0,0,0))."""
+    m = re.match(
+        r"\s*(\w+)\s+since\s+(\d{1,4})-(\d{1,2})-(\d{1,2})"
+        r"(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2}(?:\.\d*)?))?)?",
+        units,
+    )
+    if not m:
+        raise ValueError(f"unparseable time units: {units!r}")
+    unit = m.group(1).lower()
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported time unit {unit!r} in {units!r}")
+    base = (
+        int(m.group(2)),
+        int(m.group(3)),
+        int(m.group(4)),
+        int(m.group(5) or 0),
+        int(m.group(6) or 0),
+        int(float(m.group(7) or 0)),
+    )
+    return _UNIT_SECONDS[unit], base
+
+
+def decode_noleap_times(
+    values: np.ndarray, units: str, calendar: str = "noleap"
+) -> pd.DatetimeIndex:
+    """Decode "<unit> since <base>" time values to a pandas DatetimeIndex.
+
+    For the no-leap (365_day) calendar each calendar date is mapped to the
+    same proleptic-Gregorian date (cftime ``to_datetimeindex`` semantics);
+    standard/gregorian calendars delegate to pandas directly.
+    """
+    scale, base = _parse_time_units(units)
+    secs = np.asarray(values, dtype=np.float64) * scale
+    cal = (calendar or "standard").lower()
+    if cal in ("noleap", "365_day", "365day"):
+        by, bm, bd, bh, bmin, bs = base
+        base_day_of_year = _NOLEAP_CUM[bm - 1] + (bd - 1)
+        base_secs = (
+            base_day_of_year * 86400.0 + bh * 3600.0 + bmin * 60.0 + bs
+        )
+        tot = secs + base_secs  # seconds since year `by` day 0
+        year = by + np.floor_divide(tot, 365.0 * 86400.0).astype(np.int64)
+        rem = np.mod(tot, 365.0 * 86400.0)
+        doy = np.floor_divide(rem, 86400.0).astype(np.int64)
+        sod = rem - doy * 86400.0
+        month = np.searchsorted(_NOLEAP_CUM, doy, side="right")  # 1..12
+        dom = doy - _NOLEAP_CUM[month - 1] + 1
+        # noleap dates never include Feb 29, so every (y, m, d) is a valid
+        # Gregorian date and the mapping below is total
+        stamps = [
+            pd.Timestamp(
+                int(y), int(mo), int(d)
+            ) + pd.Timedelta(seconds=float(s))
+            for y, mo, d, s in zip(year, month, dom, sod)
+        ]
+        return pd.DatetimeIndex(stamps)
+    base_ts = pd.Timestamp(*base)
+    return pd.DatetimeIndex([base_ts + pd.Timedelta(seconds=float(s)) for s in secs])
+
+
+class NcFile:
+    """One opened netCDF file: numpy variables + a decoded time index.
+
+    ``variables`` maps names to numpy arrays (copied out of any mmap, so
+    the handle can be closed immediately); ``dims`` maps names to their
+    dimension tuples; ``time`` is the decoded pandas DatetimeIndex (None
+    when the file has no time coordinate).
+    """
+
+    def __init__(
+        self,
+        variables: Dict[str, np.ndarray],
+        dims: Dict[str, Tuple[str, ...]],
+        time: Optional[pd.DatetimeIndex],
+    ):
+        self.variables = variables
+        self.dims = dims
+        self.time = time
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        return self.variables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.variables
+
+    @property
+    def data_vars(self):
+        """Variable names that are not coordinate/dimension variables."""
+        return [
+            n for n, d in self.dims.items()
+            if n not in ("time", "lat", "lon", "level", "latitude", "longitude")
+        ]
+
+    def close(self):  # data already copied out; nothing to release
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _attr_str(var, name, default=""):
+    v = getattr(var, name, default)
+    if isinstance(v, bytes):
+        v = v.decode()
+    return v
+
+
+def _open_scipy(path: str) -> NcFile:
+    from scipy.io import netcdf_file
+
+    f = netcdf_file(path, "r", mmap=False)
+    try:
+        variables: Dict[str, np.ndarray] = {}
+        dims: Dict[str, Tuple[str, ...]] = {}
+        for name, var in f.variables.items():
+            variables[name] = np.array(var.data)
+            dims[name] = tuple(var.dimensions)
+        time = None
+        if "time" in f.variables:
+            tvar = f.variables["time"]
+            time = decode_noleap_times(
+                np.array(tvar.data),
+                _attr_str(tvar, "units", "days since 1950-01-01"),
+                _attr_str(tvar, "calendar", "noleap"),
+            )
+        return NcFile(variables, dims, time)
+    finally:
+        f.close()
+
+
+def _open_xarray(path: str) -> NcFile:  # pragma: no cover - needs xarray
+    ds = _xr.open_dataset(path)
+    try:
+        variables = {n: ds[n].values for n in list(ds.variables)}
+        dims = {n: tuple(ds[n].dims) for n in list(ds.variables)}
+        time = None
+        if "time" in ds.variables:
+            idx = ds.indexes["time"]
+            time = (
+                idx.to_datetimeindex() if hasattr(idx, "to_datetimeindex")
+                else pd.DatetimeIndex(idx)
+            )
+        return NcFile(variables, dims, time)
+    finally:
+        ds.close()
+
+
+def open_nc(path: str) -> NcFile:
+    """Open a netCDF file.  scipy backend for netCDF3 classic; xarray (when
+    installed) for netCDF4/HDF5."""
+    if not HAVE_XARRAY:
+        return _open_scipy(path)
+    try:  # pragma: no cover
+        return _open_scipy(path)  # cheap path first: classic format
+    except Exception:  # pragma: no cover
+        return _open_xarray(path)
+
+
+def write_nc(
+    path: str,
+    dim_sizes: Mapping[str, int],
+    variables: Mapping[str, Tuple[Sequence[str], np.ndarray]],
+    *,
+    time_values: Optional[np.ndarray] = None,
+    time_units: str = "hours since 1950-01-01",
+    calendar: str = "noleap",
+) -> str:
+    """Write a netCDF3 classic file (scipy backend — no xarray needed).
+
+    ``variables`` maps name -> (dims, array).  When ``time_values`` is
+    given, a CF time coordinate with the no-leap calendar is written —
+    matching the ModelE files the readers expect.
+    """
+    from scipy.io import netcdf_file
+
+    with netcdf_file(path, "w") as f:
+        for name, size in dim_sizes.items():
+            f.createDimension(name, size)
+        if time_values is not None:
+            if "time" not in dim_sizes:
+                f.createDimension("time", len(time_values))
+            tv = f.createVariable("time", "d", ("time",))
+            tv[:] = np.asarray(time_values, dtype=np.float64)
+            tv.units = time_units.encode()
+            tv.calendar = calendar.encode()
+        for name, (dims, arr) in variables.items():
+            arr = np.asarray(arr)
+            v = f.createVariable(name, arr.dtype.str.lstrip("<>|"), tuple(dims))
+            v[:] = arr
+    return path

@@ -1,4 +1,4 @@
-"""netCDF-tree-backed loaders for real ModelE output (requires xarray).
+"""netCDF-tree-backed loaders for real ModelE output.
 
 Implements the lazy daily-file datasets of the reference — E33OMA
 (dataset.py:125-298) and E33OMA_CRNN (dataset.py:403-548) — plus the
@@ -8,12 +8,15 @@ uses the in-memory ``SequenceDataset``/``SingleStepDataset`` (opening 2-5
 netCDF files per sample, as the reference does in its __getitem__ hot path
 at dataset.py:446-454, is orders of magnitude too slow to feed a TPU).
 
-This module is import-gated: everything raises a clear error if xarray is
-unavailable (it is not part of the baked TPU image).
+I/O goes through data/ncio (scipy netCDF3 backend, xarray when installed),
+so the whole path runs — and is tested — without xarray.  Day files are
+read once into an LRU cache (``_DayCache``) instead of the reference's
+per-sample re-open (dataset.py:446-454).
 """
 
 from __future__ import annotations
 
+import collections
 import os
 import os.path as osp
 from typing import Dict, List, Optional, Tuple
@@ -21,23 +24,8 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from nasa_niswan_tpu.data.catalog import FILE_FAMILIES, SPECIES_VARS, daily_filename
+from nasa_niswan_tpu.data.ncio import NcFile, open_nc, write_nc
 from nasa_niswan_tpu.data.statistics import species_stats
-
-try:  # pragma: no cover - exercised only where xarray is installed
-    import xarray as xr
-
-    HAVE_XARRAY = True
-except ImportError:  # pragma: no cover
-    xr = None
-    HAVE_XARRAY = False
-
-
-def _require_xarray():
-    if not HAVE_XARRAY:
-        raise ImportError(
-            "xarray is required for netCDF ingestion; install the [data] extra "
-            "or pre-pack the data with pack_to_npz on a machine that has it"
-        )
 
 
 def list_velocity_files(root: str) -> List[str]:
@@ -56,16 +44,21 @@ def list_velocity_files(root: str) -> List[str]:
 def load_time_index(root: str):
     """Datetime index over the whole tree (no-leap calendar converted to
     pandas datetimes, dataset.py:144-147)."""
-    _require_xarray()
-    ds = xr.open_mfdataset(list_velocity_files(root))
-    return ds.indexes["time"].to_datetimeindex()
+    import pandas as pd
+
+    parts = []
+    for path in list_velocity_files(root):
+        f = open_nc(path)
+        if f.time is None:
+            raise ValueError(f"velocity file {path} has no time coordinate")
+        parts.append(f.time)
+    if not parts:
+        raise FileNotFoundError(f"no velocity files under {root}")
+    return parts[0].append(parts[1:]) if len(parts) > 1 else parts[0]
 
 
-def open_day(root: str, date_yyyymmdd: str, family_key: str):
-    _require_xarray()
-    ds = xr.open_dataset(osp.join(root, daily_filename(date_yyyymmdd, family_key)))
-    ds["time"] = ds.indexes["time"].to_datetimeindex()
-    return ds
+def open_day(root: str, date_yyyymmdd: str, family_key: str) -> NcFile:
+    return open_nc(osp.join(root, daily_filename(date_yyyymmdd, family_key)))
 
 
 def read_day_fields(
@@ -75,23 +68,53 @@ def read_day_fields(
 
     levels=None -> surface only (reference isel(level=0), dataset.py:178-180);
     levels=k -> first k vertical levels (the 20-level fusion config).
+    Level axis is 1 in the 4-D families (time, level, lat, lon).
     """
     sv = SPECIES_VARS[species]
-    lev = (lambda da: da.isel(level=0)) if levels is None else (
-        lambda da: da.isel(level=slice(0, levels))
-    )
+    lev = (lambda a: a[:, 0]) if levels is None else (lambda a: a[:, :levels])
     vel = open_day(root, date_yyyymmdd, "velocity")
     pre = open_day(root, date_yyyymmdd, "precip")
     src = open_day(root, date_yyyymmdd, sv.src_family)
     trc = open_day(root, date_yyyymmdd, "tracer_conc")
-    return {
-        "u": lev(vel["u"]).values.astype(np.float32),
-        "v": lev(vel["v"]).values.astype(np.float32),
-        "omega": lev(vel["omega"]).values.astype(np.float32),
-        "prec": pre["prec"].values.astype(np.float32),
-        "src": src[sv.src_var].values.astype(np.float32),
-        "conc": lev(trc[sv.conc_var]).values.astype(np.float32),
+    fields = {
+        "u": lev(vel["u"]).astype(np.float32),
+        "v": lev(vel["v"]).astype(np.float32),
+        "omega": lev(vel["omega"]).astype(np.float32),
+        "prec": pre["prec"].astype(np.float32),
+        "src": src[sv.src_var].astype(np.float32),
+        "conc": lev(trc[sv.conc_var]).astype(np.float32),
+        "time": vel.time,
     }
+    for f in (vel, pre, src, trc):
+        f.close()
+    return fields
+
+
+class _DayCache:
+    """Small LRU of per-day field dicts: each netCDF file in a window is
+    opened and decoded ONCE, not once per sample (the reference re-opens
+    the day's velocity file per sample just to locate a time index,
+    dataset.py:446-454)."""
+
+    def __init__(self, root: str, species: str, maxsize: int = 4):
+        self.root = root
+        self.species = species
+        self._cache: "collections.OrderedDict[str, Dict]" = collections.OrderedDict()
+        self.maxsize = maxsize
+
+    def day(self, date_yyyymmdd: str) -> Dict[str, np.ndarray]:
+        if date_yyyymmdd in self._cache:
+            self._cache.move_to_end(date_yyyymmdd)
+            return self._cache[date_yyyymmdd]
+        fields = read_day_fields(self.root, date_yyyymmdd, self.species)
+        self._cache[date_yyyymmdd] = fields
+        if len(self._cache) > self.maxsize:
+            self._cache.popitem(last=False)
+        return fields
+
+    def frame_index(self, date_yyyymmdd: str, t) -> int:
+        times = self.day(date_yyyymmdd)["time"]
+        return int(np.argmin(np.abs(times - t)))
 
 
 def pack_to_npz(
@@ -107,15 +130,16 @@ def pack_to_npz(
 
     Run once per species; the packed file feeds SequenceDataset directly.
     """
-    _require_xarray()
     if dates is None:
         index = load_time_index(root)
         dates = sorted({t.strftime("%Y%m%d") for t in index})
-    fields: Dict[str, List[np.ndarray]] = {k: [] for k in ("u", "v", "omega", "prec", "src", "conc")}
+    fields: Dict[str, List[np.ndarray]] = {
+        k: [] for k in ("u", "v", "omega", "prec", "src", "conc")
+    }
     for d in dates:
         day = read_day_fields(root, d, species, levels=levels)
-        for k, v in day.items():
-            fields[k].append(v)
+        for k in fields:
+            fields[k].append(day[k])
     packed = {k: np.concatenate(v, axis=0) for k, v in fields.items()}
     np.savez_compressed(
         out_path,
@@ -131,24 +155,24 @@ def pack_to_npz(
 def load_static_attrs(path: str, *, exclude_prefix: str = "lai") -> np.ndarray:
     """static_attrs.nc -> (C, H, W) array, excluding ``lai_*`` variables
     (reference add_static_attributes, dataset.py:100-111)."""
-    _require_xarray()
-    ds = xr.open_dataset(path)
+    f = open_nc(path)
     chans = [
-        da.values
-        for name, da in ds.data_vars.items()
+        f[name]
+        for name in f.data_vars
         if name.split("_")[0] != exclude_prefix
     ]
+    f.close()
     return np.asarray(chans, dtype=np.float32)
 
 
 class LazyE33OMASingleStep:
     """Lazy daily-netCDF single-step dataset (E33OMA semantics,
     dataset.py:125-298): deterministic shuffled 70/30 train/val split over
-    the first model year (12,264 / 5,256 of 17,520 half-hour steps), test =
-    all of year 2; per sample opens the day's files, extracts surface
-    u/v/omega/prec + species source + target + previous-step concentration
-    (the 6-channel feedback mode), normalizes from the shipped statistics
-    JSON (set2 in log10 mode), pads geophysically.
+    the first model year, test = all of year 2; per sample reads the day's
+    files (LRU-cached), extracts surface u/v/omega/prec + species source +
+    target + previous-step concentration (the 6-channel feedback mode),
+    normalizes from the shipped statistics JSON (set2 in log10 mode), pads
+    geophysically.
 
     Serving raw netCDF per sample cannot feed a TPU (SURVEY.md §7 "hard
     parts") — use pack_to_npz once and the in-memory datasets for training;
@@ -168,12 +192,12 @@ class LazyE33OMASingleStep:
         train_frac: float = 0.7,
         seed: int = 0,
     ):
-        _require_xarray()
         self.root = root
         self.species = species
         self.in_channels = in_channels
         self.transform = transform
         self.padding = padding
+        self._days = _DayCache(root, species)
 
         index = load_time_index(root)
         n = len(index) // 2  # first year
@@ -195,8 +219,6 @@ class LazyE33OMASingleStep:
         self.times = cur[sel]
         self.prev_times = prev[sel]
         self.normalizer = json_normalizer(species, transform=transform)
-        from nasa_niswan_tpu.data.statistics import species_stats
-
         _, _, y_stats = species_stats(species, transform=transform)
         self.y_mean, self.y_std = y_stats.mean, y_stats.std
 
@@ -209,22 +231,15 @@ class LazyE33OMASingleStep:
 
         t = self.times[i]
         day = t.strftime("%Y%m%d")
-        fields = read_day_fields(self.root, day, self.species)
-        ti = int(np.argmin(np.abs(
-            open_day(self.root, day, "velocity").indexes["time"] - t
-        )))
+        fields = self._days.day(day)
+        ti = self._days.frame_index(day, t)
         chans = [fields[k][ti] for k in ("u", "v", "omega", "prec", "src")]
         y = fields["conc"][ti]
         if self.in_channels == 6:
             tp = self.prev_times[i]
             pday = tp.strftime("%Y%m%d")
-            pfields = (
-                fields if pday == day
-                else read_day_fields(self.root, pday, self.species)
-            )
-            pi = int(np.argmin(np.abs(
-                open_day(self.root, pday, "velocity").indexes["time"] - tp
-            )))
+            pfields = self._days.day(pday)
+            pi = self._days.frame_index(pday, tp)
             chans.append(pfields["conc"][pi])
         x = np.stack(chans).astype(np.float32)
         if self.transform:
@@ -246,8 +261,8 @@ class LazyE33OMASingleStep:
 class LazyE33OMASequence:
     """Lazy daily-netCDF sequence dataset (E33OMA_CRNN semantics,
     dataset.py:403-548): sliding windows over the full two-year index,
-    train = year 1 (17,520 windows), val = next 10%, test = the rest;
-    target at window end; stats from the shipped JSON (set1)."""
+    train = year 1, val = next 10%, test = the rest; target at window end;
+    stats from the shipped JSON (set1)."""
 
     def __init__(
         self,
@@ -260,12 +275,12 @@ class LazyE33OMASequence:
         padding: Optional[Tuple[int, int]] = (100, 154),
         static_attrs_path: Optional[str] = None,
     ):
-        _require_xarray()
         self.root = root
         self.species = species
         self.seq_len = sequence_length
         self.in_channels = in_channels
         self.padding = padding
+        self._days = _DayCache(root, species)
 
         index = load_time_index(root)
         windows = [
@@ -283,8 +298,6 @@ class LazyE33OMASequence:
         self.windows = windows[sel]
         self.targets = targets[sel]
         self.normalizer = json_normalizer(species)
-        from nasa_niswan_tpu.data.statistics import species_stats
-
         _, _, y_stats = species_stats(species)
         self.y_mean, self.y_std = y_stats.mean, y_stats.std
         n_static = in_channels - 5
@@ -306,23 +319,18 @@ class LazyE33OMASequence:
         from nasa_niswan_tpu.core.padding import pad_geo
 
         window = self.windows[i]
-        days = sorted({t.strftime("%Y%m%d") for t in window})
-        per_day = {d: read_day_fields(self.root, d, self.species) for d in days}
-        day_times = {
-            d: open_day(self.root, d, "velocity").indexes["time"] for d in days
-        }
         frames = []
         for t in window:
             d = t.strftime("%Y%m%d")
-            ti = int(np.argmin(np.abs(day_times[d] - t)))
-            f = per_day[d]
+            f = self._days.day(d)
+            ti = self._days.frame_index(d, t)
             frames.append(
                 np.stack([f[k][ti] for k in ("u", "v", "omega", "prec", "src")])
             )
         x = np.stack(frames).astype(np.float32)  # (T, 5, H, W)
         td = self.targets[i].strftime("%Y%m%d")
-        tti = int(np.argmin(np.abs(day_times[td] - self.targets[i])))
-        y = per_day[td]["conc"][tti].astype(np.float32)
+        tti = self._days.frame_index(td, self.targets[i])
+        y = self._days.day(td)["conc"][tti].astype(np.float32)
 
         norm = self.normalizer
         x = (x - norm.x_mean.reshape(1, -1, 1, 1)) / norm.x_std.reshape(1, -1, 1, 1)
@@ -349,17 +357,28 @@ def build_static_attrs(
     merges land-cover class fractions (dropping all-zero classes), LAI
     variables renamed ``lai_*``, and grid attributes (axyp/landfr/ocnfr)
     into one netCDF consumed by the static-channel loaders."""
-    _require_xarray()
-    lc = xr.open_dataset(land_cover_path)
-    if drop_all_zero:
-        keep = [v for v in lc.data_vars if float(np.abs(lc[v]).sum()) > 0]
-        lc = lc[keep]
-    lai = xr.open_dataset(lai_path)
-    lai = lai.rename({v: f"lai_{v}" for v in lai.data_vars})
-    grid = xr.open_dataset(grid_attrs_path)
-    keep = [v for v in ("axyp", "landfr", "ocnfr") if v in grid]
-    merged = xr.merge([lc, lai, grid[keep]])
-    merged.to_netcdf(out_path)
+    lc = open_nc(land_cover_path)
+    lai = open_nc(lai_path)
+    grid = open_nc(grid_attrs_path)
+
+    out_vars: Dict[str, Tuple[Tuple[str, ...], np.ndarray]] = {}
+    for v in lc.data_vars:
+        if drop_all_zero and float(np.abs(lc[v]).sum()) == 0.0:
+            continue
+        out_vars[v] = (lc.dims[v], lc[v])
+    for v in lai.data_vars:
+        out_vars[f"lai_{v}"] = (lai.dims[v], lai[v])
+    for v in ("axyp", "landfr", "ocnfr"):
+        if v in grid:
+            out_vars[v] = (grid.dims[v], grid[v])
+
+    dim_sizes: Dict[str, int] = {}
+    for dims, arr in out_vars.values():
+        for d, s in zip(dims, np.asarray(arr).shape):
+            dim_sizes.setdefault(d, s)
+    write_nc(out_path, dim_sizes, out_vars)
+    for f in (lc, lai, grid):
+        f.close()
     return out_path
 
 
