@@ -293,7 +293,10 @@ class Seq2SeqDataset:
         species: str = "bcb",
         sequence_length: int = 48,
     ):
-        xs, y = _stack_inputs(data, species)
+        if isinstance(data, tuple):
+            xs, y = data  # pre-fused stack, e.g. data/fusion.fuse_levels
+        else:
+            xs, y = _stack_inputs(data, species)
         T = xs.shape[0]
         # step 0 of each chunk needs conc at -1, so chunks start at 1
         n_chunks = (T - 1) // sequence_length

@@ -49,12 +49,63 @@ def make_seq2seq_train_step(
     """Returns jitted ``step(params, opt_state, x, prev0, y, rng,
     teacher_prob) -> (params, opt_state, metrics)``.
 
-    x: raw (B, T, 5, H, W) forcings; prev0: raw (B, H, W) concentration at
-    t-1 of the chunk start; y: raw (B, T, H, W) target series.
-    ``config.in_channels`` must be 6 (5 dynamic + feedback).
+    x: raw (B, T, C-1, H, W) forcings (5 surface channels, or the fused
+    3*levels+2 stack of config #2); prev0: raw (B, H, W) concentration at
+    t-1 of the chunk start; y: raw (B, T, H, W) target series.  The model's
+    ``config.in_channels`` is the forcing count + 1 (the feedback channel —
+    6 in the reference's surface mode, dataset.py:330).
     """
-    if config.in_channels != 6:
-        raise ValueError("seq2seq feedback training needs in_channels == 6")
+    forward_chunk = _make_forward_chunk(
+        config, normalizer, padded_shape=padded_shape, grid_shape=grid_shape
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, x, prev0, y, rng, teacher_prob):
+        (loss, r2v), grads = jax.value_and_grad(
+            lambda p: forward_chunk(p, x, prev0, y, rng, teacher_prob),
+            has_aux=True,
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "r2": r2v}
+
+    return train_step
+
+
+def make_seq2seq_eval_step(
+    config: ConvLSTMConfig,
+    normalizer: Normalizer,
+    *,
+    padded_shape: Tuple[int, int],
+    grid_shape: Tuple[int, int],
+):
+    """Jitted closed-loop evaluation: the whole chunk runs on the model's
+    OWN feedback (teacher_prob = 0) — the deployment condition.  Returns
+    ``eval_step(params, x, prev0, y) -> (loss, r2)``."""
+    forward_chunk = _make_forward_chunk(
+        config, normalizer, padded_shape=padded_shape, grid_shape=grid_shape
+    )
+
+    @jax.jit
+    def eval_step(params, x, prev0, y):
+        loss, r2v = forward_chunk(
+            params, x, prev0, y, jax.random.PRNGKey(0), 0.0
+        )
+        return loss, r2v
+
+    return eval_step
+
+
+def _make_forward_chunk(
+    config: ConvLSTMConfig,
+    normalizer: Normalizer,
+    *,
+    padded_shape: Tuple[int, int],
+    grid_shape: Tuple[int, int],
+):
+    """Shared scan body of the seq2seq train/eval steps."""
+    if config.in_channels < 2:
+        raise ValueError("seq2seq feedback training needs a feedback channel")
 
     x_mean = jnp.asarray(normalizer.x_mean).reshape(-1, 1, 1)
     x_std = jnp.asarray(normalizer.x_std).reshape(-1, 1, 1)
@@ -109,17 +160,7 @@ def make_seq2seq_train_step(
         ss_tot = jnp.sum((flat_y - jnp.mean(flat_y)) ** 2)
         return loss, 1.0 - ss_res / ss_tot
 
-    @jax.jit
-    def train_step(params, opt_state, x, prev0, y, rng, teacher_prob):
-        (loss, r2v), grads = jax.value_and_grad(
-            lambda p: forward_chunk(p, x, prev0, y, rng, teacher_prob),
-            has_aux=True,
-        )(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, "r2": r2v}
-
-    return train_step
+    return forward_chunk
 
 
 def fit_seq2seq(
@@ -127,6 +168,7 @@ def fit_seq2seq(
     params,
     dataset,
     *,
+    val_dataset=None,
     normalizer: Optional[Normalizer] = None,
     padded_shape: Tuple[int, int],
     grid_shape: Tuple[int, int],
@@ -137,8 +179,16 @@ def fit_seq2seq(
     schedule_k: float = 10.0,
     seed: int = 0,
     verbose: bool = True,
+    snapshot_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
 ):
-    """Scheduled-sampling fine-tuning driver over a Seq2SeqDataset."""
+    """Scheduled-sampling fine-tuning driver over a Seq2SeqDataset.
+
+    When ``val_dataset`` is given, each epoch also runs fully closed-loop
+    (teacher_prob = 0) chunks over it — validation under the deployment
+    condition, not the teacher-forced one.  ``snapshot_dir`` +
+    ``checkpoint_every`` mirror the windowed trainer's epoch-NNN layout.
+    """
     from nasa_niswan_tpu.train.loop import make_optimizer
 
     normalizer = normalizer or dataset.normalizer
@@ -148,6 +198,11 @@ def fit_seq2seq(
         config, normalizer, optimizer, padded_shape=padded_shape,
         grid_shape=grid_shape,
     )
+    eval_step = None
+    if val_dataset is not None:
+        eval_step = make_seq2seq_eval_step(
+            config, normalizer, padded_shape=padded_shape, grid_shape=grid_shape
+        )
     rng = jax.random.PRNGKey(seed)
     history = []
     n = len(dataset)
@@ -165,17 +220,41 @@ def fit_seq2seq(
             )
             losses.append(m["loss"])
             r2s.append(m["r2"])
-        history.append(
-            {
-                "epoch": epoch,
-                "teacher_prob": tp,
-                "loss": float(jnp.mean(jnp.stack(losses))),
-                "r2": float(jnp.mean(jnp.stack(r2s))),
-            }
-        )
+        rec = {
+            "epoch": epoch,
+            "teacher_prob": tp,
+            "loss": float(jnp.mean(jnp.stack(losses))),
+            "r2": float(jnp.mean(jnp.stack(r2s))),
+        }
+        if eval_step is not None:
+            v_r2s = []
+            nv = len(val_dataset)
+            for s in range(0, max(nv - nv % batch_size, 0) or nv, batch_size):
+                items = [val_dataset[i] for i in range(s, min(s + batch_size, nv))]
+                if len(items) < batch_size:  # pad to keep shapes static
+                    items = items + [items[-1]] * (batch_size - len(items))
+                xs, p0s, ys = zip(*items)
+                _, r2v = eval_step(
+                    params, np.stack(xs), np.stack(p0s), np.stack(ys)
+                )
+                v_r2s.append(r2v)
+            rec["r2_val"] = float(jnp.mean(jnp.stack(v_r2s)))
+        history.append(rec)
         if verbose:
+            extra = (
+                f", R2V: {rec['r2_val']:.5f}" if "r2_val" in rec else ""
+            )
             print(
                 f"[seq2seq] Epoch: {epoch}, tf_prob: {tp:.3f}, "
-                f"Loss: {history[-1]['loss']:.5f}, R2: {history[-1]['r2']:.5f}"
+                f"Loss: {rec['loss']:.5f}, R2: {rec['r2']:.5f}{extra}"
+            )
+        if snapshot_dir and checkpoint_every and epoch % checkpoint_every == 0:
+            import os
+
+            from nasa_niswan_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                os.path.join(snapshot_dir, f"epoch-{epoch:03d}"),
+                params, opt_state, learning_rate=learning_rate, epoch=epoch,
             )
     return params, opt_state, history

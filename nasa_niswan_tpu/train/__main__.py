@@ -33,7 +33,14 @@ def load_data(config: TrainConfig) -> dict:
 
 
 def build_datasets(config: TrainConfig, bundle, data):
-    kw = dict(species=config.species, in_channels=config.in_channels)
+    if config.levels > 1:
+        # config #2: fuse 3-D meteorology levels into channels (C = 3L+2)
+        from nasa_niswan_tpu.data.fusion import fuse_levels
+
+        data = fuse_levels(data, config.species, levels=config.levels)
+        kw = dict(species=config.species)
+    else:
+        kw = dict(species=config.species, in_channels=config.in_channels)
     if bundle.is_sequence:
         mk = lambda period: SequenceDataset(
             data, period=period, sequence_length=config.sequence_length, **kw
@@ -45,9 +52,73 @@ def build_datasets(config: TrainConfig, bundle, data):
     return mk("train"), mk("val")
 
 
+def run_seq2seq(config: TrainConfig, data):
+    """Config #3: scheduled-sampling training through the feedback channel
+    (python -m nasa_niswan_tpu.train --mode seq2seq)."""
+    from nasa_niswan_tpu.data.dataset import Seq2SeqDataset
+    from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, convlstm_init
+    from nasa_niswan_tpu.rollout.seq2seq import fit_seq2seq
+
+    if config.family != "LSTM":
+        raise ValueError("--mode seq2seq drives the recurrent (LSTM) family")
+    if config.levels > 1:
+        from nasa_niswan_tpu.data.fusion import fuse_levels
+
+        data = fuse_levels(data, config.species, levels=config.levels)
+    mk = lambda period: Seq2SeqDataset(
+        data, period=period, species=config.species,
+        sequence_length=config.sequence_length,
+    )
+    train_ds, val_ds = mk("train"), mk("val")
+
+    model_cfg = ConvLSTMConfig(
+        in_channels=config.in_channels,
+        hidden_channels=tuple(config.hidden_channels),
+        kernel_sizes=tuple(config.kernel_size),
+        compute_dtype=config.compute_dtype,
+        cell_impl=config.cell_impl,
+    )
+    params = convlstm_init(jax.random.PRNGKey(config.seed), model_cfg)
+    if config.use_checkpoint:
+        # fine-tune from a windowed-training checkpoint (the canonical
+        # protocol: windowed train -> seq2seq fine-tune -> rollout)
+        tmpl_opt = make_optimizer(
+            config.learning_rate, tuple(config.betas)
+        ).init(params)
+        params, _, _ = load_checkpoint(
+            config.restore_from, params, tmpl_opt, lr=config.learning_rate
+        )
+    grid = tuple(data[1].shape[-2:]) if isinstance(data, tuple) else (
+        data[f"{config.species}_conc"].shape[-2:]
+    )
+    params, opt_state, history = fit_seq2seq(
+        model_cfg, params, train_ds,
+        val_dataset=val_ds,
+        padded_shape=tuple(config.input_size),
+        grid_shape=tuple(grid),
+        num_epochs=config.num_epochs,
+        batch_size=config.batch_size,
+        learning_rate=config.learning_rate,
+        betas=tuple(config.betas),
+        schedule_k=config.schedule_k,
+        seed=config.seed,
+        snapshot_dir=config.snapshot_dir,
+        checkpoint_every=config.checkpoint_every,
+    )
+    # logger.npy parity: loss / train R2 / val R2 (train.py:138-142)
+    os.makedirs(config.snapshot_dir, exist_ok=True)
+    with open(os.path.join(config.snapshot_dir, "logger.npy"), "wb") as f:
+        np.save(f, np.array([h["loss"] for h in history]))
+        np.save(f, np.array([h["r2"] for h in history]))
+        np.save(f, np.array([h.get("r2_val", np.nan) for h in history]))
+    return {"params": params, "opt_state": opt_state, "history": history}
+
+
 def main(config: TrainConfig):
     print(f"{config.model} deployed on {jax.devices()[0].device_kind}")
     data = load_data(config)
+    if config.mode == "seq2seq":
+        return run_seq2seq(config, data)
     bundle = build_model(
         config.model,
         in_channels=config.in_channels,
@@ -58,7 +129,9 @@ def main(config: TrainConfig):
         precompute_input_conv=config.precompute_input_conv,
     )
     train_ds, val_ds = build_datasets(config, bundle, data)
-    n_static = config.in_channels - 5
+    # static attribute channels apply to the surface configs only (the
+    # fusion stack's in_channels are all dynamic)
+    n_static = config.in_channels - 5 if config.levels == 1 else 0
     static = data["static"][:n_static] if n_static > 0 else None
 
     init_params = init_state = init_opt_state = None

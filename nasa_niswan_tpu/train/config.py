@@ -48,14 +48,28 @@ class TrainConfig:
     synthetic_grid: Tuple[int, int] = (90, 144)  # fixture (lat, lon) size
     dp_devices: int = 1  # data-parallel mesh size (parallel/dp.py)
     checkpoint_every: int = 10  # reference: every 10 epochs (train.py:126)
-    levels: int = 1  # vertical levels (20 for the 3-D fusion config)
+    levels: int = 1  # vertical levels (20 for the 3-D fusion config #2)
     auto_resume: bool = False  # restart-from-latest (preemption recovery)
+    mode: str = "windowed"  # "windowed" | "seq2seq" (scheduled sampling, config #3)
+    schedule_k: float = 10.0  # seq2seq teacher-forcing decay constant
 
     def __post_init__(self):
         if len(self.hidden_channels) != self.num_layers:
             raise ValueError(
                 "The length of hidden_channels must be equal to num_layers."
             )
+        if self.mode not in ("windowed", "seq2seq"):
+            raise ValueError(f"mode must be windowed|seq2seq, got {self.mode!r}")
+        # Canonical channel counts (documented in bench.py): the 3-D fusion
+        # stack is C = 3*levels + 2 (u/v/omega per level + prec + emission,
+        # data/fusion.py); seq2seq adds the feedback channel on top.  A
+        # default in_channels is derived; explicit larger values (static
+        # attribute channels) are kept.
+        base = 3 * self.levels + 2 if self.levels > 1 else 5
+        if self.in_channels == 5 and base != 5:
+            self.in_channels = base
+        if self.mode == "seq2seq" and self.in_channels == base:
+            self.in_channels = base + 1
 
     @property
     def family(self) -> str:
@@ -129,6 +143,9 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--checkpoint-every", type=int, default=d["checkpoint_every"].default)
     p.add_argument("--levels", type=int, default=d["levels"].default)
     p.add_argument("--auto-resume", action="store_true")
+    p.add_argument("--mode", type=str, default=d["mode"].default,
+                   choices=("windowed", "seq2seq"))
+    p.add_argument("--schedule-k", type=float, default=d["schedule_k"].default)
     ns = p.parse_args(argv)
     kwargs = {k.replace("-", "_"): v for k, v in vars(ns).items()}
     for k in ("hidden_channels", "kernel_size", "input_size", "scheduler_config",

@@ -153,3 +153,56 @@ def test_training_with_static_channels(tmp_path, data):
     assert np.isfinite(out["logger"]["MSELoss"][0])
     # the input conv consumed 8 channels
     assert out["params"]["cells"][0]["w_x"].shape[2] == 8
+
+
+def test_cli_main_fusion_mode(tmp_path):
+    """--levels L drives config #2 end-to-end through the CLI main():
+    fused C = 3L+2 channels, training runs, checkpoints land."""
+    from nasa_niswan_tpu.train.__main__ import main
+
+    cfg = TrainConfig(
+        model="LSTM-fuse", num_layers=2, hidden_channels=(6, 6),
+        kernel_size=(3, 3), sequence_length=4, num_epochs=1, batch_size=4,
+        input_size=(32, 44), synthetic_steps=100, synthetic_grid=(24, 36),
+        levels=3, checkpoint_every=1, snapshot_dir=str(tmp_path),
+    )
+    assert cfg.in_channels == 11  # 3*3 + 2 auto-derived
+    out = main(cfg)
+    assert len(out["logger"]["MSELoss"]) == 1
+    assert os.path.isdir(tmp_path / "epoch-001")
+
+
+def test_cli_main_seq2seq_mode(tmp_path):
+    """--mode seq2seq drives config #3 end-to-end through the CLI main():
+    feedback channel auto-added, closed-loop val R2 recorded, logger.npy
+    written in the 3-array format."""
+    from nasa_niswan_tpu.train.__main__ import main
+
+    cfg = TrainConfig(
+        model="LSTM-s2s", mode="seq2seq", num_layers=2, hidden_channels=(6, 6),
+        kernel_size=(3, 3), sequence_length=6, num_epochs=2, batch_size=2,
+        input_size=(32, 44), synthetic_steps=120, synthetic_grid=(24, 36),
+        checkpoint_every=2, snapshot_dir=str(tmp_path),
+    )
+    assert cfg.in_channels == 6  # 5 forcings + feedback auto-derived
+    out = main(cfg)
+    assert "r2_val" in out["history"][-1]
+    assert os.path.isdir(tmp_path / "epoch-002")
+    with open(tmp_path / "logger.npy", "rb") as f:
+        loss = np.load(f); r2t = np.load(f); r2v = np.load(f)
+    assert loss.shape == (2,) and np.isfinite(r2v).all()
+
+
+def test_cli_main_seq2seq_fusion(tmp_path):
+    """configs #2 + #3 compose: seq2seq over the fused multi-level stack."""
+    from nasa_niswan_tpu.train.__main__ import main
+
+    cfg = TrainConfig(
+        model="LSTM-s2sf", mode="seq2seq", num_layers=1, hidden_channels=(6,),
+        kernel_size=(3,), sequence_length=4, num_epochs=1, batch_size=2,
+        input_size=(32, 44), synthetic_steps=80, synthetic_grid=(24, 36),
+        levels=2, checkpoint_every=0, snapshot_dir=str(tmp_path),
+    )
+    assert cfg.in_channels == 3 * 2 + 2 + 1
+    out = main(cfg)
+    assert np.isfinite(out["history"][-1]["loss"])
