@@ -133,7 +133,11 @@ def convlstm_apply(
 
     Args:
       x: (B, T, H, W, C) NHWC sequence (use ``nchw_to_nhwc_seq`` to convert
-        reference-layout (B, T, C, H, W) batches).
+        reference-layout (B, T, C, H, W) batches).  May also be a TUPLE of
+        such arrays: each step's input is their channel concatenation,
+        assembled inside the scan body — callers share a common part across
+        a vmap (e.g. multi-tracer meteorology, rollout/multitracer.py)
+        without materializing the concatenated stack per vmap instance.
       return_per_step: also return the 1-channel head applied to every
         timestep's last-layer h — the reference's per-step taps
         (model.py:264,272; test.ipynb cell 8's ``hs``), shape (B, T, H, W, 1).
@@ -163,7 +167,8 @@ def convlstm_apply(
         cell_step = _cell_step_xla
 
     compute_dtype = jnp.dtype(config.compute_dtype)
-    B, T, H, W, _ = x.shape
+    x_parts = x if isinstance(x, tuple) else (x,)
+    B, T, H, W = x_parts[0].shape[:4]
     n_layers = config.num_layers
 
     if initial_state is None:
@@ -177,17 +182,19 @@ def convlstm_apply(
     else:
         state = [tuple(s) for s in initial_state]
 
-    xs = jnp.moveaxis(x, 1, 0)  # time-major (T, B, H, W, C)
+    xs = tuple(jnp.moveaxis(p, 1, 0) for p in x_parts)  # time-major parts
 
     if precompute_input_conv:
+        if len(xs) > 1:
+            raise ValueError("precompute_input_conv needs a single input part")
         k0 = config.kernel_sizes[0]
         wx0 = params["cells"][0]["w_x"].astype(compute_dtype)
-        flat = xs.reshape(T * B, H, W, x.shape[-1]).astype(compute_dtype)
-        xs = conv2d(flat, wx0, padding=k0 // 2).reshape(T, B, H, W, -1)
+        flat = xs[0].reshape(T * B, H, W, xs[0].shape[-1]).astype(compute_dtype)
+        xs = (conv2d(flat, wx0, padding=k0 // 2).reshape(T, B, H, W, -1),)
 
     def step(carry, x_t):
         new_carry = []
-        inp = x_t
+        inp = x_t[0] if len(x_t) == 1 else jnp.concatenate(x_t, axis=-1)
         for li in range(n_layers):
             h, c = carry[li]
             h, c = cell_step(

@@ -105,3 +105,95 @@ def make_multitracer_rollout(
         )
 
     return rollout
+
+
+def make_multitracer_rollout_shared(
+    config: ConvLSTMConfig,
+    normalizers: Sequence[Normalizer],
+    *,
+    padded_shape: Tuple[int, int] = (100, 154),
+    grid_shape: Tuple[int, int] = (90, 144),
+):
+    """Multi-tracer rollout with DE-DUPLICATED forcings.
+
+    ``make_multitracer_rollout`` takes (S, B, T, C, H, W) — S copies of the
+    meteorology channels that are in fact identical across species.  Here
+    the inputs split by what actually differs:
+
+        met:       (B, T, C-1, H, W)  shared u/v/omega/prec[, levels]
+        emissions: (S, B, T, H, W)    per-species source fields
+
+    The meteorology is normalized/padded ONCE (unbatched under the species
+    vmap — XLA computes it a single time) and each scan step concatenates
+    the shared met frame with the species' emission channel inside the scan
+    body (models/convlstm.convlstm_apply tuple-input support), so HBM cost
+    per added species is the emission stream + carry state only.  At 20
+    levels x long chunks this is what keeps config #5 under the allocator
+    ceiling (docs/STATUS.md r1 gap #2).
+
+    Meteorology stats are shared across species (they are the same
+    variables; species JSONs differ only in src/conc slots) — species 0's
+    values are used.  The emission slot (last input channel) stays
+    per-species.
+    """
+    stacked = stack_normalizers(normalizers)
+    met_mean = np.asarray(normalizers[0].x_mean[:-1], np.float32)
+    met_std = np.asarray(normalizers[0].x_std[:-1], np.float32)
+
+    def single_dyn(params, met_xs, emis, e_mean, e_std, y_mean, y_std, state):
+        from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
+        from nasa_niswan_tpu.models.convlstm import convlstm_apply
+        from nasa_niswan_tpu.ops.conv import conv2d
+
+        compute_dtype = jnp.dtype(config.compute_dtype)
+        e = ((emis - e_mean) / e_std).astype(compute_dtype)
+        e = pad_geo(e, padded_shape)[..., None]  # (B, T, H, W, 1)
+
+        def tap(h_last):
+            p = conv2d(
+                h_last.astype(compute_dtype),
+                params["head"]["w"].astype(compute_dtype),
+                params["head"]["b"],
+            ).astype(jnp.float32)
+            return crop_to_grid(p[..., 0], grid_shape) * y_std + y_mean
+
+        _, preds, new_state = convlstm_apply(
+            params, (met_xs, e), config, return_per_step=True,
+            initial_state=state, return_state=True, tap_fn=tap,
+        )
+        return preds, new_state
+
+    vmapped = jax.vmap(
+        single_dyn, in_axes=(0, None, 0, 0, 0, 0, 0, 0)
+    )
+
+    @jax.jit
+    def rollout(stacked_params, met, emissions, state=None):
+        S, B = emissions.shape[:2]
+        H, W = padded_shape
+        if state is None:
+            state = [
+                (
+                    jnp.zeros((S, B, H, W, hc), jnp.float32),
+                    jnp.zeros((S, B, H, W, hc), jnp.float32),
+                )
+                for hc in config.hidden_channels
+            ]
+        from nasa_niswan_tpu.core.padding import pad_geo
+
+        compute_dtype = jnp.dtype(config.compute_dtype)
+        m = (met - met_mean.reshape(-1, 1, 1)) / met_std.reshape(-1, 1, 1)
+        m = m.astype(compute_dtype)
+        met_xs = jnp.moveaxis(pad_geo(m, padded_shape), -3, -1)  # (B,T,H,W,Cm)
+        return vmapped(
+            stacked_params,
+            met_xs,
+            emissions,
+            jnp.asarray(stacked.x_mean[:, -1]),
+            jnp.asarray(stacked.x_std[:, -1]),
+            jnp.asarray(stacked.y_mean),
+            jnp.asarray(stacked.y_std),
+            state,
+        )
+
+    return rollout

