@@ -55,7 +55,11 @@ def main():
     )
 
     LEVELS = 20
-    C = 4 * LEVELS + 1  # u,v,omega,prec per level + surface emission
+    # the framework's canonical 20-level fusion layout (data/fusion.py;
+    # config #2): u/v/omega per level + prec + surface emission.  (Round 1
+    # benchmarked a 4L+1=81-channel superset; the canonical definition is
+    # C=62 — see fusion_channel_count.)
+    C = 3 * LEVELS + 2
     BATCH = 1
     STEPS = 384  # 8 emulated model-days per call: long enough to amortize
     # the fixed per-launch cost (~29 ms through the dev tunnel) and measure
@@ -104,7 +108,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "autoregressive rollout throughput, 90x144x20 (81ch) ConvLSTM, bf16, batch 1",
+                "metric": "autoregressive rollout throughput, 90x144x20 (62ch fusion) ConvLSTM, bf16, batch 1",
                 "value": round(value, 2),
                 "unit": "model-days/min",
                 "vs_baseline": round(value / 1000.0, 3),

@@ -152,6 +152,39 @@ def pack_to_npz(
     return out_path
 
 
+def load_90days_nc(
+    path: str, *, levels: int | None = None
+) -> Dict[str, np.ndarray]:
+    """Direct reader for a packed E33OMA-90Days.nc-style single file
+    (reference dataset.py:303,314-340): variables u/v/omega (time[,level],
+    lat,lon), prec, and ``{species}_src`` / ``{species}_conc`` for whichever
+    species the file carries.  Returns the packed dict consumed by
+    SequenceDataset / SingleStepDataset / fuse_levels.
+
+    levels=None -> surface slice of the level-bearing variables (the
+    reference's isel(level=0)); levels=k -> first k levels kept (feeds the
+    fusion config).
+    """
+    f = open_nc(path)
+    lev = (
+        (lambda a, d: a[:, 0] if "level" in d else a)
+        if levels is None
+        else (lambda a, d: a[:, :levels] if "level" in d else a)
+    )
+    out: Dict[str, np.ndarray] = {}
+    for name in f.data_vars:
+        dims = f.dims[name]
+        if "time" not in dims:
+            continue
+        out[name] = lev(f[name], dims).astype(np.float32)
+    f.close()
+    wanted = {"u", "v", "omega", "prec"}
+    missing = wanted - out.keys()
+    if missing:
+        raise ValueError(f"{path} lacks variables {sorted(missing)}")
+    return out
+
+
 def load_static_attrs(path: str, *, exclude_prefix: str = "lai") -> np.ndarray:
     """static_attrs.nc -> (C, H, W) array, excluding ``lai_*`` variables
     (reference add_static_attributes, dataset.py:100-111)."""

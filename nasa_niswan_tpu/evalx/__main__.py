@@ -24,6 +24,12 @@ def main(argv=None):
                    help="epoch checkpoint to load (default: latest)")
     p.add_argument("--mode", choices=("windowed", "rollout"), default="windowed")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--export-hidden", action="store_true",
+                   help="also save per-window per-step head taps to HSs.npy "
+                        "(test.ipynb cell 8's HSs buffer; LSTM family only)")
+    p.add_argument("--oat", action="store_true",
+                   help="run the OAT sensitivity sweep (cells 56-57) and "
+                        "save oat_sensitivity.npz + boxplot")
     args = p.parse_args(argv)
 
     from nasa_niswan_tpu.core.grid import GridSpec
@@ -84,6 +90,45 @@ def main(argv=None):
             bundle, params, tmpl_state, test_ds, padded_shape=padded,
             batch_size=args.batch_size, static=static,
         )
+
+    if args.export_hidden:
+        if not bundle.is_sequence:
+            raise SystemExit("--export-hidden needs the LSTM family")
+        from nasa_niswan_tpu.evalx.evaluate import predict_test_hidden
+
+        hss = predict_test_hidden(
+            bundle.config, params, test_ds, padded_shape=padded,
+            batch_size=args.batch_size, static=static,
+        )
+        np.save(os.path.join(args.run_dir, "HSs.npy"), hss)
+        print(f"HSs.npy saved: {hss.shape}")
+
+    if args.oat:
+        if not bundle.is_sequence:
+            raise SystemExit("--oat drives the compiled rollout (LSTM family)")
+        from nasa_niswan_tpu.rollout.autoregressive import make_rollout_fn
+        from nasa_niswan_tpu.rollout.sensitivity import oat_sensitivity
+
+        rollout = make_rollout_fn(
+            bundle.config, test_ds.normalizer, padded_shape=padded,
+            grid_shape=tuple(out["GTs"].shape[-2:]), static=static,
+        )
+        frames, _ = test_ds.forcing_stream()
+        deltas = oat_sensitivity(rollout, params, frames[None])
+        np.savez_compressed(
+            os.path.join(args.run_dir, "oat_sensitivity.npz"),
+            **{k: v.astype(np.float32) for k, v in deltas.items()},
+        )
+        try:
+            from nasa_niswan_tpu.evalx.plots import plot_oat_boxplot
+
+            plot_oat_boxplot(
+                deltas,
+                save_path=os.path.join(args.run_dir, "oat_boxplot.png"),
+            )
+            print("oat_boxplot.png saved")
+        except ImportError:
+            print("matplotlib unavailable; oat_sensitivity.npz saved only")
 
     grid = GridSpec(nlat=out["GTs"].shape[-2], nlon=out["GTs"].shape[-1])
     report = evaluation_report(out["GTs"], out["PDs"], grid.lat, grid.lon)

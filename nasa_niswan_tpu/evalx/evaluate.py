@@ -75,6 +75,58 @@ def predict_test_rollout(
     return {"GTs": targets, "PDs": preds}
 
 
+def predict_test_hidden(
+    config,
+    params,
+    dataset,
+    *,
+    padded_shape,
+    batch_size: int = 8,
+    static: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Per-window per-step head taps — the reference's HSs buffer
+    (test.ipynb cell 8: ``pred, hs = net(X)``, HSs (N, 48, 90, 144)).
+    Returns physical-unit (N, T, h, w)."""
+    import jax
+
+    from nasa_niswan_tpu.core.padding import crop_to_grid
+    from nasa_niswan_tpu.data.dataset import zscore_static
+    from nasa_niswan_tpu.models.convlstm import convlstm_apply
+    from nasa_niswan_tpu.ops.conv import conv2d
+    from nasa_niswan_tpu.rollout.autoregressive import _prep_frame
+
+    norm = dataset.normalizer
+    grid_shape = tuple(dataset[0][1].shape[-2:])
+    static_z = None if static is None else zscore_static(static)
+
+    @jax.jit
+    def run(params, x_raw):
+        import jax.numpy as jnp
+
+        xs = _prep_frame(x_raw, norm, static_z, padded_shape)
+        dt = jnp.dtype(config.compute_dtype)
+
+        def tap(h_last):
+            p = conv2d(
+                h_last.astype(dt),
+                params["head"]["w"].astype(dt),
+                params["head"]["b"],
+            ).astype(jnp.float32)
+            return norm.unnormalize_y(crop_to_grid(p[..., 0], grid_shape))
+
+        _, taps = convlstm_apply(
+            params, xs, config, return_per_step=True, tap_fn=tap
+        )
+        return taps
+
+    out = []
+    for x_raw, _ in batch_iterator(
+        dataset, batch_size, shuffle=False, drop_last=False
+    ):
+        out.append(np.asarray(run(params, x_raw)))
+    return np.concatenate(out)
+
+
 def evaluation_report(
     gts: np.ndarray, pds: np.ndarray, lat, lon, *, unit_scale: float = 1.0
 ) -> Dict:

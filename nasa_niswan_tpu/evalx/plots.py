@@ -173,3 +173,41 @@ def plot_r2_map(
     if save_path:
         fig.savefig(save_path, bbox_inches="tight", pad_inches=0.1)
     return fig
+
+
+def plot_oat_boxplot(
+    deltas,
+    *,
+    subsample: int = 10000,
+    seed: int = 0,
+    ax=None,
+    save_path: Optional[str] = None,
+):
+    """OAT sensitivity boxplot (test.ipynb cell 57): distribution of
+    |Δprediction| per perturbed input channel.
+
+    ``deltas``: {channel_name: |Δpred| array} from
+    rollout/sensitivity.oat_sensitivity; each is flattened and subsampled
+    (the reference plots the full test pass — subsampling keeps the figure
+    cheap at decadal scale without changing the quartiles).
+    """
+    _require_mpl()
+    rng = np.random.default_rng(seed)
+    names = list(deltas)
+    samples = []
+    for name in names:
+        flat = np.asarray(deltas[name]).ravel()
+        if flat.size > subsample:
+            flat = rng.choice(flat, size=subsample, replace=False)
+        samples.append(flat)
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6, 3.2), constrained_layout=True)
+    else:
+        fig = ax.figure
+    ax.boxplot(samples, showmeans=True, showfliers=False)
+    ax.set_xticklabels(names)
+    ax.set_ylabel("|Δ prediction|")
+    ax.grid(True, axis="y")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", pad_inches=0.1)
+    return fig

@@ -68,6 +68,7 @@ def make_rollout_fn(
     static: Optional[np.ndarray] = None,
     collect_taps: bool = False,
     unnormalize: bool = True,
+    precompute_input_conv: Optional[bool] = None,
 ) -> Callable:
     """Compiled state-carrying rollout for the ConvLSTM emulator.
 
@@ -76,8 +77,22 @@ def make_rollout_fn(
     predictions (physical units when ``unnormalize``) plus the final carry,
     suitable for chunked decadal runs: feed the next forcing chunk with the
     returned state.
+
+    precompute_input_conv=None auto-hoists layer 0's input conv out of the
+    scan as one (B*T)-batched conv when the hoisted activation buffer
+    (B, T, H, W, 4*hidden0) stays under ~4 GB — measured 1.95x rollout
+    throughput at the north-star shapes (the per-step batch-1 conv is the
+    MXU-utilization bottleneck; docs/STATUS.md r1 gap #2).
     """
     static_z = None if static is None else zscore_static(static)
+
+    def _auto_hoist(B: int, T: int) -> bool:
+        if precompute_input_conv is not None:
+            return precompute_input_conv
+        H, W = padded_shape
+        itemsize = 2 if config.compute_dtype == "bfloat16" else 4
+        hoisted = B * T * H * W * 4 * config.hidden_channels[0] * itemsize
+        return hoisted < 4 * 1024**3
 
     @jax.jit
     def rollout(params, forcings, initial_state=None):
@@ -120,6 +135,7 @@ def make_rollout_fn(
             xs,
             config,
             return_per_step=True,
+            precompute_input_conv=_auto_hoist(B, T),
             initial_state=initial_state,
             return_state=True,
             tap_fn=tap,

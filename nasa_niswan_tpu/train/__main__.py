@@ -23,6 +23,14 @@ from nasa_niswan_tpu.utils.logging import LoggerDecorator
 
 def load_data(config: TrainConfig) -> dict:
     if config.data_path:
+        if config.data_path.endswith(".nc"):
+            # direct single-file reader (E33OMA-90Days.nc, dataset.py:303)
+            from nasa_niswan_tpu.data.netcdf import load_90days_nc
+
+            return load_90days_nc(
+                config.data_path,
+                levels=config.levels if config.levels > 1 else None,
+            )
         with np.load(config.data_path) as f:
             return dict(f)
     return synthetic_e33oma_90d(

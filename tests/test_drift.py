@@ -1,0 +1,96 @@
+"""Closed-loop numerics over long horizons (SURVEY §7 hard part 3 /
+VERDICT r1 missing #5): the decadal config #5 runs the rollout for
+thousands of steps in bf16 — this test quantifies bf16-vs-f32 divergence
+on the fixture and pins that it stays bounded.
+
+Design note: the (h, c) carry is ALWAYS f32 in this framework (zeros init
+f32; gates upcast by the f32 bias before gate_update) — bf16 applies to
+the convs only.  So "bf16 drift" here means conv-rounding noise injected
+every step into an otherwise-f32 recurrence; the gates' sigmoid/tanh keep
+the state bounded, and the forcing stream (not the carry) dominates the
+signal, so divergence saturates instead of compounding.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from nasa_niswan_tpu.data.dataset import SequenceDataset
+from nasa_niswan_tpu.data.synthetic import synthetic_e33oma_90d
+from nasa_niswan_tpu.models.registry import build_model
+from nasa_niswan_tpu.rollout.autoregressive import make_rollout_fn
+from nasa_niswan_tpu.train.config import TrainConfig
+from nasa_niswan_tpu.train.loop import fit
+
+GRID = (24, 36)
+PADDED = (32, 44)
+HORIZON = 2400  # 50 emulated model-days, ~5x the fixture's training span
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """A briefly trained small emulator + a long forcing stream."""
+    data = synthetic_e33oma_90d(T=HORIZON + 64, seed=4, H=GRID[0], W=GRID[1])
+    bundle = build_model(
+        "LSTM-drift", in_channels=5, hidden_channels=(8, 8), kernel_sizes=(5, 3)
+    )
+    train_ds = SequenceDataset(data, period="train", sequence_length=6)
+    val_ds = SequenceDataset(data, period="val", sequence_length=6)
+    cfg = TrainConfig(
+        model="LSTM-drift", num_layers=2, hidden_channels=(8, 8),
+        kernel_size=(5, 3), sequence_length=6, num_epochs=2, batch_size=8,
+        input_size=PADDED, checkpoint_every=0,
+        snapshot_dir=str(tmp_path_factory.mktemp("drift")),
+    )
+    out = fit(bundle, train_ds, val_ds, cfg, verbose=False)
+    xs = np.stack(
+        [data["u"], data["v"], data["omega"], data["prec"], data["bcb_src"]],
+        axis=1,
+    ).astype(np.float32)[None]  # (1, T, 5, H, W)
+    truth = data["bcb_conc"]
+    return out["params"], train_ds.normalizer, xs, truth
+
+
+def _long_rollout(params, norm, xs, dtype):
+    from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig
+
+    cfg = ConvLSTMConfig(
+        in_channels=5, hidden_channels=(8, 8), kernel_sizes=(5, 3),
+        compute_dtype=dtype,
+    )
+    rollout = make_rollout_fn(cfg, norm, padded_shape=PADDED, grid_shape=GRID)
+    # chunked decadal pattern: carry the state across chunks
+    preds, state = [], None
+    chunk = 300
+    for s in range(0, HORIZON, chunk):
+        p, state = rollout(params, xs[:, s : s + chunk], state)
+        preds.append(np.asarray(p[0]))
+    return np.concatenate(preds, axis=0)  # (T, H, W)
+
+
+def test_bf16_closed_loop_drift_bounded(trained):
+    params, norm, xs, truth = trained
+    p32 = _long_rollout(params, norm, xs, "float32")
+    p16 = _long_rollout(params, norm, xs, "bfloat16")
+    assert np.isfinite(p16).all()
+
+    # divergence must saturate at the conv-rounding scale, not compound:
+    # compare the per-step normalized RMS difference early vs late
+    scale = np.std(p32) + 1e-12
+    d = np.sqrt(((p16 - p32) ** 2).mean(axis=(1, 2))) / scale
+    early = d[100:300].mean()
+    late = d[-200:].mean()
+    assert late < 0.2, f"bf16 trajectory diverged: late nRMSE {late:.4f}"
+    assert late < 10 * early + 0.05, (early, late)
+
+    # and closed-loop skill must be dtype-independent: temporal R^2 of both
+    # trajectories against the fixture truth over the final stretch
+    def r2(pred, want):
+        res = ((want - pred) ** 2).sum()
+        tot = ((want - want.mean()) ** 2).sum()
+        return 1.0 - res / tot
+
+    w = truth[HORIZON - 600 : HORIZON]
+    r32 = r2(p32[-600:], w)
+    r16 = r2(p16[-600:], w)
+    assert abs(r32 - r16) < 0.05, (r32, r16)
