@@ -1,14 +1,20 @@
 """Benchmark: sustained autoregressive rollout throughput on TPU.
 
 The north-star metric (BASELINE.json): emulated model-days/min at
-90x144x20 — the 20-level 3-D fusion config (4 meteorology variables x 20
-vertical levels + 1 surface emission = 81 input channels) driving the
-canonical ConvLSTM emulator (hidden 64/32/16, kernels 5/3/3), run as a
-single compiled state-carrying rollout (rollout/autoregressive.py), bf16
-compute.  Target >= 1000 days/min; reference GPU anchor for the *surface*
-model is ~1550 forward-only days/min at batch 1 (test.ipynb cell 59).
+90x144x20 — the 20-level 3-D fusion config (C = 3*20+2 = 62 channels,
+data/fusion.py) driving the canonical ConvLSTM emulator (hidden 64/32/16,
+kernels 5/3/3), run as a single compiled state-carrying rollout
+(rollout/autoregressive.py), bf16 compute.  Target >= 1000 days/min;
+reference GPU anchor for the *surface* model is ~1550 forward-only
+days/min at batch 1 (test.ipynb cell 59).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``--train`` instead benchmarks end-to-end canonical TRAINING throughput
+(launcher.sh config: bs 8, T=48, 100x154 padded, 8 channels, bf16+remat)
+including the async host pipeline, and reports the input-wait share so
+input-boundedness is measured, not assumed (SURVEY §7 "host data pipeline
+at TPU speed").
 """
 
 from __future__ import annotations
@@ -117,5 +123,118 @@ def main():
     )
 
 
+def main_train():
+    """Canonical-training throughput: emulated model-days/min of training
+    data consumed.  Headline = the device-resident window path (slab
+    uploaded once, windows gathered on device by index); the async host
+    pipeline is measured alongside with its input-wait share (it was 98.6%
+    input-bound through the dev tunnel — the reason the resident path
+    exists)."""
+    import jax
+
+    _preflight()
+
+    import jax.numpy as jnp
+
+    from nasa_niswan_tpu.data.dataset import SequenceDataset
+    from nasa_niswan_tpu.data.pipeline import async_batches
+    from nasa_niswan_tpu.data.synthetic import synthetic_e33oma_90d
+    from nasa_niswan_tpu.models.registry import build_model
+    from nasa_niswan_tpu.train.loop import (
+        DeviceWindowSource,
+        make_device_train_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    BS, T = 8, 48
+    data = synthetic_e33oma_90d(T=720, seed=0, H=90, W=144)
+    ds = SequenceDataset(data, period="train", sequence_length=T,
+                         in_channels=8)
+    bundle = build_model(
+        "LSTM-bench", in_channels=8, hidden_channels=(64, 32, 16),
+        kernel_sizes=(5, 3, 3), compute_dtype="bfloat16", remat=True,
+    )
+    params, state = bundle.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(1e-3, (0.5, 0.999))
+    opt_state = opt.init(params)
+    rng = jax.random.PRNGKey(1)
+
+    # --- device-resident path (the production default, train/loop.py)
+    src = DeviceWindowSource(ds)
+    step_d = make_device_train_step(
+        bundle, ds.normalizer, opt, src, padded_shape=(100, 154),
+        grid_shape=(90, 144), static=data["static"][:3],
+    )
+
+    def run_resident(epoch):
+        nonlocal params, state, opt_state, rng
+        order = np.arange(src.n)
+        np.random.default_rng(epoch).shuffle(order)
+        n_steps = 0
+        tic = time.perf_counter()
+        for s in range(0, src.n - src.n % BS, BS):
+            starts = jnp.asarray(order[s : s + BS], jnp.int32)
+            rng, srng = jax.random.split(rng)
+            params, state, opt_state, metrics = step_d(
+                params, state, opt_state, starts, srng
+            )
+            n_steps += 1
+        np.asarray(metrics["loss"])  # drain the device queue (real sync)
+        return n_steps, time.perf_counter() - tic
+
+    run_resident(0)  # warmup/compile
+    n_steps, elapsed = run_resident(1)
+    value = (n_steps * BS * T / 48.0) / (elapsed / 60.0)
+
+    # --- async host pipeline (for the input-wait diagnostic)
+    step_h = make_train_step(
+        bundle, ds.normalizer, opt, padded_shape=(100, 154),
+        grid_shape=(90, 144), static=data["static"][:3], donate=False,
+    )
+
+    def run_host(epoch):
+        nonlocal rng
+        p, st, opt_s = params, state, opt_state
+        n_steps, input_wait = 0, 0.0
+        it = async_batches(ds, BS, shuffle=True, seed=0, epoch=epoch)
+        tic = time.perf_counter()
+        while True:
+            t0 = time.perf_counter()
+            batch = next(it, None)
+            input_wait += time.perf_counter() - t0
+            if batch is None:
+                break
+            rng, srng = jax.random.split(rng)
+            p, st, opt_s, metrics = step_h(p, st, opt_s, *batch, srng)
+            n_steps += 1
+        np.asarray(metrics["loss"])
+        return n_steps, time.perf_counter() - tic, input_wait
+
+    run_host(0)
+    h_steps, h_elapsed, h_wait = run_host(1)
+    host_value = (h_steps * BS * T / 48.0) / (h_elapsed / 60.0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "canonical training throughput (bs 8, T=48, "
+                          "100x154, 8ch, bf16+remat, device-resident windows)",
+                "value": round(value, 2),
+                "unit": "model-days/min",
+                "vs_baseline": round(value / 1000.0, 3),
+                "host_pipeline_days_per_min": round(host_value, 2),
+                "host_input_wait_frac": round(h_wait / h_elapsed, 4),
+                "steps": n_steps,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--train" in sys.argv[1:]:
+        main_train()
+    else:
+        main()

@@ -29,7 +29,10 @@ def batch_iterator(
     drop_last: bool = True,
     epoch: int = 0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield (X, y) numpy batches from any dataset with __len__/__getitem__.
+    """Yield stacked numpy batches from any dataset with __len__/__getitem__.
+
+    Samples may be any fixed-arity tuple — (X, y) pairs or e.g. the
+    (X, prev0, y) triplets of Seq2SeqDataset; each position is stacked.
 
     drop_last=True keeps batch shapes static — one XLA compilation for the
     whole run (the reference's last partial batch would trigger a recompile).
@@ -41,8 +44,8 @@ def batch_iterator(
     stop = n - (n % batch_size) if drop_last else n
     for start in range(0, stop, batch_size):
         idx = order[start : start + batch_size]
-        xs, ys = zip(*(dataset[int(i)] for i in idx))
-        yield np.stack(xs), np.stack(ys)
+        cols = zip(*(dataset[int(i)] for i in idx))
+        yield tuple(np.stack(col) for col in cols)
 
 
 def device_prefetch(

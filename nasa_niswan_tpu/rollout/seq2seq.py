@@ -205,18 +205,17 @@ def fit_seq2seq(
         )
     rng = jax.random.PRNGKey(seed)
     history = []
-    n = len(dataset)
-    order = np.arange(n)
     for epoch in range(1, num_epochs + 1):
         tp = inverse_sigmoid_schedule(epoch, schedule_k)
-        np.random.default_rng(seed + epoch).shuffle(order)
         losses, r2s = [], []
-        for s in range(0, n - n % batch_size, batch_size):
-            xs, p0s, ys = zip(*(dataset[int(i)] for i in order[s : s + batch_size]))
+        from nasa_niswan_tpu.data.pipeline import async_batches
+
+        for x_b, p0_b, y_b in async_batches(
+            dataset, batch_size, shuffle=True, seed=seed, epoch=epoch
+        ):
             rng, srng = jax.random.split(rng)
             params, opt_state, m = step(
-                params, opt_state, np.stack(xs), np.stack(p0s), np.stack(ys),
-                srng, tp,
+                params, opt_state, x_b, p0_b, y_b, srng, tp
             )
             losses.append(m["loss"])
             r2s.append(m["r2"])

@@ -188,6 +188,90 @@ def make_eval_step(
     )
 
 
+class DeviceWindowSource:
+    """Device-resident sliding-window batches for sequence training.
+
+    Host pipelines resend each frame ~seq_len times (windows overlap by
+    seq_len-1), which makes canonical training ~99% input-bound through a
+    slow host link (measured: input_wait_frac 0.986, bench.py --train).
+    TPU-first fix: upload the split's CONTIGUOUS frame slab once
+    (SequenceDataset.forcing_stream) and gather each batch's windows
+    on-device by start index inside the jitted step — per batch only a
+    (B,) int32 index vector crosses the host boundary.
+
+    HBM cost: the raw slab, e.g. a full reference training year
+    (17,520 x 5 x 90 x 144 f32) = 4.5 GB — resident once, no per-step copies
+    beyond the (B, T, C, H, W) gather at HBM bandwidth.
+    """
+
+    def __init__(self, dataset, *, sharding=None):
+        frames, targets = dataset.forcing_stream()
+        self.seq_len = dataset.seq_len
+        self.n = len(dataset)
+        put = (lambda a: jax.device_put(a, sharding)) if sharding else jax.device_put
+        self.frames = put(frames)  # (T_total, C, H, W)
+        self.targets = put(targets)  # (N, H, W)
+
+    def gather(self, starts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B,) int32 window starts -> ((B, T, C, H, W), (B, H, W)).
+        Trace-time building block for the jitted step."""
+        x = jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(
+                self.frames, s, self.seq_len, axis=0
+            )
+        )(starts)
+        y = self.targets[starts]
+        return x, y
+
+
+def make_device_train_step(
+    bundle: ModelBundle,
+    normalizer: Normalizer,
+    optimizer,
+    source: DeviceWindowSource,
+    *,
+    padded_shape: Optional[Tuple[int, int]],
+    grid_shape: Tuple[int, int] = (90, 144),
+    static: Optional[np.ndarray] = None,
+    donate: Optional[bool] = None,
+) -> Callable:
+    """``step(params, state, opt_state, starts, rng)`` with the batch
+    gathered from the device-resident slab inside the jit."""
+    inner = build_train_step_fn(
+        bundle, normalizer, optimizer, padded_shape=padded_shape,
+        grid_shape=grid_shape, static=static,
+    )
+
+    def step(params, state, opt_state, starts, rng):
+        x_raw, y_raw = source.gather(starts)
+        return inner(params, state, opt_state, x_raw, y_raw, rng)
+
+    if donate is None:
+        donate = jax.default_backend() not in ("cpu",)
+    return jax.jit(step, donate_argnums=(0, 2) if donate else ())
+
+
+def make_device_eval_step(
+    bundle: ModelBundle,
+    normalizer: Normalizer,
+    source: DeviceWindowSource,
+    *,
+    padded_shape: Optional[Tuple[int, int]],
+    grid_shape: Tuple[int, int] = (90, 144),
+    static: Optional[np.ndarray] = None,
+) -> Callable:
+    inner = build_eval_step_fn(
+        bundle, normalizer, padded_shape=padded_shape, grid_shape=grid_shape,
+        static=static,
+    )
+
+    def step(params, state, starts):
+        x_raw, y_raw = source.gather(starts)
+        return inner(params, state, x_raw, y_raw)
+
+    return jax.jit(step)
+
+
 def fit(
     bundle: ModelBundle,
     train_dataset,
@@ -202,11 +286,17 @@ def fit(
     start_epoch: int = 1,
     verbose: bool = True,
     mesh=None,
+    device_resident: Optional[bool] = None,
 ) -> Dict[str, Any]:
     """Epoch driver with reference logging/checkpoint parity.
 
     Returns {params, state, opt_state, logger} where logger holds the three
     reference metric arrays (MSELoss, r2_score, r2_score_val).
+
+    device_resident=None auto-enables the DeviceWindowSource path (windows
+    gathered on device from a resident frame slab; only indices cross the
+    host link) for single-device sequence training when the slab fits —
+    the measured host pipeline was 98.6% input-bound without it.
     """
     since = time.time()
     normalizer = normalizer or train_dataset.normalizer
@@ -223,7 +313,32 @@ def fit(
     optimizer = make_optimizer(config.learning_rate, tuple(config.betas))
     opt_state = init_opt_state if init_opt_state is not None else optimizer.init(params)
 
-    if mesh is None:
+    if device_resident is None:
+        slab_ok = (
+            hasattr(train_dataset, "forcing_stream")
+            and hasattr(val_dataset, "forcing_stream")
+            and train_dataset[0][0].nbytes
+            * (len(train_dataset) + train_dataset.seq_len)
+            // train_dataset.seq_len
+            < 6 * 1024**3
+        )
+        device_resident = mesh is None and slab_ok
+    train_src = val_src = None
+    if device_resident:
+        if mesh is not None:
+            raise ValueError("device_resident training is single-device/DP-free")
+        train_src = DeviceWindowSource(train_dataset)
+        val_src = DeviceWindowSource(val_dataset)
+        batch_sharding = None
+        train_step_d = make_device_train_step(
+            bundle, normalizer, optimizer, train_src, padded_shape=padded,
+            grid_shape=grid_shape, static=static,
+        )
+        eval_step_d = make_device_eval_step(
+            bundle, normalizer, val_src, padded_shape=padded,
+            grid_shape=grid_shape, static=static,
+        )
+    elif mesh is None:
         batch_sharding = None
         train_step = make_train_step(
             bundle, normalizer, optimizer, padded_shape=padded,
@@ -256,36 +371,64 @@ def fit(
             opt_state, step_lr(config.learning_rate, step_size, gamma, epoch - 1)
         )
         losses, r2s = [], []
-        batches = async_batches(
-            train_dataset, config.batch_size, shuffle=True,
-            seed=config.seed, epoch=epoch, sharding=batch_sharding,
-        )
-        for x_raw, y_raw in batches:
-            rng, step_rng = jax.random.split(rng)
-            params, state, opt_state, metrics = train_step(
-                params, state, opt_state, x_raw, y_raw, step_rng
+        if device_resident:
+            order = np.arange(train_src.n)
+            np.random.default_rng(
+                np.uint32(config.seed) + np.uint32(epoch)
+            ).shuffle(order)
+            stop = train_src.n - (train_src.n % config.batch_size)
+            for s in range(0, stop, config.batch_size):
+                starts = jnp.asarray(order[s : s + config.batch_size], jnp.int32)
+                rng, step_rng = jax.random.split(rng)
+                params, state, opt_state, metrics = train_step_d(
+                    params, state, opt_state, starts, step_rng
+                )
+                losses.append(metrics["loss"])
+                r2s.append(metrics["r2"])
+        else:
+            batches = async_batches(
+                train_dataset, config.batch_size, shuffle=True,
+                seed=config.seed, epoch=epoch, sharding=batch_sharding,
             )
-            losses.append(metrics["loss"])
-            r2s.append(metrics["r2"])
+            for x_raw, y_raw in batches:
+                rng, step_rng = jax.random.split(rng)
+                params, state, opt_state, metrics = train_step(
+                    params, state, opt_state, x_raw, y_raw, step_rng
+                )
+                losses.append(metrics["loss"])
+                r2s.append(metrics["r2"])
 
         val_scores = []
-        # val keeps static shapes: a partial final batch is padded up to
-        # batch_size (repeat-last) and only the valid per-sample scores kept,
-        # so mesh-sharded validation covers the whole set (no remainder drop)
-        for x_raw, y_raw in async_batches(
-            val_dataset, config.batch_size, shuffle=False, drop_last=False,
-            to_device=False,
-        ):
-            n_valid = x_raw.shape[0]
-            if n_valid < config.batch_size:
-                reps = config.batch_size - n_valid
-                x_raw = np.concatenate([x_raw, np.repeat(x_raw[-1:], reps, 0)])
-                y_raw = np.concatenate([y_raw, np.repeat(y_raw[-1:], reps, 0)])
-            if batch_sharding is not None:
-                x_raw = jax.device_put(x_raw, batch_sharding)
-                y_raw = jax.device_put(y_raw, batch_sharding)
-            per_sample, _ = eval_step(params, state, x_raw, y_raw)
-            val_scores.append(per_sample[:n_valid])
+        if device_resident:
+            bs = config.batch_size
+            for s in range(0, val_src.n, bs):
+                idx = np.arange(s, min(s + bs, val_src.n))
+                n_valid = len(idx)
+                if n_valid < bs:  # pad to keep shapes static
+                    idx = np.concatenate([idx, np.repeat(idx[-1:], bs - n_valid)])
+                per_sample, _ = eval_step_d(
+                    params, state, jnp.asarray(idx, jnp.int32)
+                )
+                val_scores.append(per_sample[:n_valid])
+        else:
+            # val keeps static shapes: a partial final batch is padded up to
+            # batch_size (repeat-last) and only the valid per-sample scores
+            # kept, so mesh-sharded validation covers the whole set (no
+            # remainder drop)
+            for x_raw, y_raw in async_batches(
+                val_dataset, config.batch_size, shuffle=False, drop_last=False,
+                to_device=False,
+            ):
+                n_valid = x_raw.shape[0]
+                if n_valid < config.batch_size:
+                    reps = config.batch_size - n_valid
+                    x_raw = np.concatenate([x_raw, np.repeat(x_raw[-1:], reps, 0)])
+                    y_raw = np.concatenate([y_raw, np.repeat(y_raw[-1:], reps, 0)])
+                if batch_sharding is not None:
+                    x_raw = jax.device_put(x_raw, batch_sharding)
+                    y_raw = jax.device_put(y_raw, batch_sharding)
+                per_sample, _ = eval_step(params, state, x_raw, y_raw)
+                val_scores.append(per_sample[:n_valid])
 
         logger["MSELoss"].append(float(jnp.mean(jnp.stack(losses))))
         logger["r2_score"].append(float(jnp.mean(jnp.stack(r2s))))

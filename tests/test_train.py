@@ -206,3 +206,24 @@ def test_cli_main_seq2seq_fusion(tmp_path):
     assert cfg.in_channels == 3 * 2 + 2 + 1
     out = main(cfg)
     assert np.isfinite(out["history"][-1]["loss"])
+
+
+def test_device_resident_matches_host_pipeline(tmp_path, data):
+    """The DeviceWindowSource path is a pure transport change: same shuffle
+    order, same batches, same numbers as the host async pipeline."""
+    cfg = small_lstm_config(tmp_path, num_epochs=2)
+    mk = lambda: build_model(
+        "LSTM-test", in_channels=5, hidden_channels=cfg.hidden_channels,
+        kernel_sizes=cfg.kernel_size,
+    )
+    tr = SequenceDataset(data, period="train", sequence_length=cfg.sequence_length)
+    va = SequenceDataset(data, period="val", sequence_length=cfg.sequence_length)
+    out_d = fit(mk(), tr, va, cfg, verbose=False, device_resident=True)
+    out_h = fit(mk(), tr, va, cfg, verbose=False, device_resident=False)
+    np.testing.assert_allclose(
+        out_d["logger"]["MSELoss"], out_h["logger"]["MSELoss"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        out_d["logger"]["r2_score_val"], out_h["logger"]["r2_score_val"],
+        rtol=1e-5,
+    )
