@@ -174,7 +174,10 @@ def _open_scipy(path: str) -> NcFile:
         variables: Dict[str, np.ndarray] = {}
         dims: Dict[str, Tuple[str, ...]] = {}
         for name, var in f.variables.items():
-            variables[name] = np.array(var.data)
+            arr = np.array(var.data)
+            if arr.dtype.byteorder == ">":  # netCDF3 stores big-endian
+                arr = arr.astype(arr.dtype.newbyteorder("="))
+            variables[name] = arr
             dims[name] = tuple(var.dimensions)
         time = None
         if "time" in f.variables:

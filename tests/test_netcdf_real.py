@@ -203,3 +203,32 @@ def test_month_boundary_day_naming(tmp_path):
                                  in_channels=6, padding=None)
     x, y = ds[0]  # crosses the month boundary for the feedback channel
     assert x.shape[0] == 6
+
+
+def test_ncio_native_byteorder_and_int_vars(tmp_path):
+    """netCDF3 is big-endian on disk; open_nc must hand back native-order
+    arrays (jax rejects non-native byteorder), and time-less int variables
+    must read fine."""
+    from nasa_niswan_tpu.data.ncio import open_nc, write_nc
+
+    p = str(tmp_path / "i.nc")
+    write_nc(p, {"lat": 3, "lon": 4},
+             {"mask": (("lat", "lon"),
+                       np.arange(12, dtype=np.int32).reshape(3, 4))})
+    f = open_nc(p)
+    assert f.time is None
+    assert f["mask"].dtype.byteorder in ("=", "|", "<")
+    np.testing.assert_array_equal(f["mask"].ravel(), np.arange(12))
+
+    import jax.numpy as jnp
+
+    jnp.asarray(f["mask"])  # must not raise
+
+
+def test_decode_seconds_units_with_time_of_day_base():
+    from nasa_niswan_tpu.data.ncio import decode_noleap_times
+
+    t = decode_noleap_times(
+        [0, 1800, 3600], "seconds since 1950-06-15 12:30:00", "365_day"
+    )
+    assert [x.strftime("%H:%M") for x in t] == ["12:30", "13:00", "13:30"]
