@@ -212,15 +212,22 @@ class DeviceWindowSource:
         self.frames = put(frames)  # (T_total, C, H, W)
         self.targets = put(targets)  # (N, H, W)
 
-    def gather(self, starts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def gather(
+        self, frames: jnp.ndarray, targets: jnp.ndarray, starts: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B,) int32 window starts -> ((B, T, C, H, W), (B, H, W)).
-        Trace-time building block for the jitted step."""
+
+        Trace-time building block for the jitted step.  ``frames``/
+        ``targets`` MUST flow in as jit ARGUMENTS, not closure captures —
+        jax lowering hashes captured constants at ~50 s/GB (a 3.3 GB slab
+        costs minutes per compile); an argument is abstract and free.
+        """
         x = jax.vmap(
             lambda s: jax.lax.dynamic_slice_in_dim(
-                self.frames, s, self.seq_len, axis=0
+                frames, s, self.seq_len, axis=0
             )
         )(starts)
-        y = self.targets[starts]
+        y = targets[starts]
         return x, y
 
 
@@ -242,13 +249,20 @@ def make_device_train_step(
         grid_shape=grid_shape, static=static,
     )
 
-    def step(params, state, opt_state, starts, rng):
-        x_raw, y_raw = source.gather(starts)
+    def step(params, state, opt_state, frames, targets, starts, rng):
+        x_raw, y_raw = source.gather(frames, targets, starts)
         return inner(params, state, opt_state, x_raw, y_raw, rng)
 
     if donate is None:
         donate = jax.default_backend() not in ("cpu",)
-    return jax.jit(step, donate_argnums=(0, 2) if donate else ())
+    jitted = jax.jit(step, donate_argnums=(0, 2) if donate else ())
+
+    def call(params, state, opt_state, starts, rng):
+        return jitted(
+            params, state, opt_state, source.frames, source.targets, starts, rng
+        )
+
+    return call
 
 
 def make_device_eval_step(
@@ -265,11 +279,16 @@ def make_device_eval_step(
         static=static,
     )
 
-    def step(params, state, starts):
-        x_raw, y_raw = source.gather(starts)
+    def step(params, state, frames, targets, starts):
+        x_raw, y_raw = source.gather(frames, targets, starts)
         return inner(params, state, x_raw, y_raw)
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    def call(params, state, starts):
+        return jitted(params, state, source.frames, source.targets, starts)
+
+    return call
 
 
 def fit(

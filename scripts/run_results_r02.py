@@ -57,10 +57,13 @@ def run_a(data, out_dir: str, epochs: int):
         checkpoint_every=max(epochs // 3, 1),
         snapshot_dir=os.path.join(out_dir, "runA"),
     )
+    # NOTE: no input-conv hoist for TRAINING — the hoisted
+    # (B, T, H, W, 4*hidden0) buffer plus the remat backward plus the
+    # device-resident slab exceeds comfortable HBM at bs 8; the hoist is a
+    # serving-path (rollout) optimization.
     bundle = build_model(
         cfg.model, in_channels=C, hidden_channels=cfg.hidden_channels,
         kernel_sizes=cfg.kernel_size, compute_dtype="bfloat16", remat=True,
-        precompute_input_conv=True,
     )
     cfg.dump()
     t0 = time.time()
