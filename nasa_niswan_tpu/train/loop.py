@@ -273,10 +273,11 @@ def make_device_eval_step(
     padded_shape: Optional[Tuple[int, int]],
     grid_shape: Tuple[int, int] = (90, 144),
     static: Optional[np.ndarray] = None,
+    unnormalize: bool = False,
 ) -> Callable:
     inner = build_eval_step_fn(
         bundle, normalizer, padded_shape=padded_shape, grid_shape=grid_shape,
-        static=static,
+        static=static, unnormalize=unnormalize,
     )
 
     def step(params, state, frames, targets, starts):
@@ -315,7 +316,11 @@ def fit(
     device_resident=None auto-enables the DeviceWindowSource path (windows
     gathered on device from a resident frame slab; only indices cross the
     host link) for single-device sequence training when the slab fits —
-    the measured host pipeline was 98.6% input-bound without it.
+    the measured host pipeline was 98.6% input-bound without it.  The
+    guard budgets the slab only; at wide-channel scale the per-batch
+    buffers (remat scan carries ~ B*T*H*W*sum(hidden)*8 bytes) compete for
+    the same HBM — on RESOURCE_EXHAUSTED lower batch_size or pass
+    device_resident=False.
     """
     since = time.time()
     normalizer = normalizer or train_dataset.normalizer

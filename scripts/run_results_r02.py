@@ -49,10 +49,12 @@ def run_a(data, out_dir: str, epochs: int):
     print(f"[A] fused C={C}, windows train/val/test = "
           f"{len(train_ds)}/{len(val_ds)}/{len(test_ds)}", flush=True)
 
+    # bs 4: at the 20-level scale the remat scan carries (48 steps x 110 MB
+    # at bs 8) plus the resident slabs exceed one chip's 16 GB; bs 4 fits
     cfg = TrainConfig(
         model="LSTM-FUSE20-r02", species="bcb", in_channels=C, levels=20,
         num_layers=3, hidden_channels=(64, 32, 16), kernel_size=(5, 3, 3),
-        sequence_length=48, num_epochs=epochs, batch_size=8,
+        sequence_length=48, num_epochs=epochs, batch_size=4,
         input_size=(100, 154), compute_dtype="bfloat16",
         checkpoint_every=max(epochs // 3, 1),
         snapshot_dir=os.path.join(out_dir, "runA"),
