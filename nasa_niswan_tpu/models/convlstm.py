@@ -157,7 +157,33 @@ def convlstm_apply(
     Returns:
       pred (B, H, W, out_channels), optionally per-step taps and final state.
     """
-    if config.cell_impl == "pallas":
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    x_parts = x if isinstance(x, tuple) else (x,)
+    B, T, H, W = x_parts[0].shape[:4]
+    n_layers = config.num_layers
+
+    pallas2 = config.cell_impl == "pallas2"
+    w_valid = W
+    if pallas2:
+        # second-gen fused kernel: everything lives in the padded-column
+        # layout (valid data at cols [o2, o2+W), zero margins, total width
+        # a sublane-tile multiple) — see ops/convlstm_pallas2.py
+        from nasa_niswan_tpu.ops.convlstm_pallas2 import (
+            cell_step_pallas2,
+            col_margin,
+            pad_cols,
+            padded_cols,
+        )
+
+        o2 = col_margin(config.kernel_sizes)
+        wp = padded_cols(W, o2)
+        x_parts = tuple(pad_cols(p_, o2, wp) for p_ in x_parts)
+        W = wp
+
+        cell_step = lambda cell, xt, h, c, k, dt, pre=False: cell_step_pallas2(
+            cell, xt, h, c, k, dt, o2, w_valid, x_already_conved=pre
+        )
+    elif config.cell_impl == "pallas":
         from nasa_niswan_tpu.ops.convlstm_pallas import cell_step_pallas
 
         cell_step = lambda cell, xt, h, c, k, dt, pre=False: cell_step_pallas(
@@ -165,11 +191,6 @@ def convlstm_apply(
         )
     else:
         cell_step = _cell_step_xla
-
-    compute_dtype = jnp.dtype(config.compute_dtype)
-    x_parts = x if isinstance(x, tuple) else (x,)
-    B, T, H, W = x_parts[0].shape[:4]
-    n_layers = config.num_layers
 
     if initial_state is None:
         state = [
@@ -181,6 +202,11 @@ def convlstm_apply(
         ]
     else:
         state = [tuple(s) for s in initial_state]
+        if pallas2 and state[0][0].shape[2] == w_valid:
+            # continuation state handed over in the standard layout
+            state = [
+                (pad_cols(h, o2, wp), pad_cols(c, o2, wp)) for h, c in state
+            ]
 
     xs = tuple(jnp.moveaxis(p, 1, 0) for p in x_parts)  # time-major parts
 
@@ -210,11 +236,13 @@ def convlstm_apply(
             inp = h
         if not return_per_step:
             tap = None
-        elif tap_fn is not None:
-            tap = tap_fn(inp)
+            return new_carry, tap
+        tap_in = inp[:, :, o2 : o2 + w_valid, :] if pallas2 else inp
+        if tap_fn is not None:
+            tap = tap_fn(tap_in)
         else:
             tap = conv2d(
-                inp.astype(compute_dtype),
+                tap_in.astype(compute_dtype),
                 params["head"]["w"].astype(compute_dtype),
                 params["head"]["b"],
             ).astype(jnp.float32)
@@ -224,6 +252,8 @@ def convlstm_apply(
         step = jax.checkpoint(step)
     final_state, taps = jax.lax.scan(step, state, xs)
     h_last = final_state[-1][0]
+    if pallas2:
+        h_last = h_last[:, :, o2 : o2 + w_valid, :]
     pred = conv2d(
         h_last.astype(compute_dtype),
         params["head"]["w"].astype(compute_dtype),

@@ -1,0 +1,305 @@
+"""Fused ConvLSTM cell, second-generation Pallas TPU kernel.
+
+The first kernel (ops/convlstm_pallas.py) computes the gate conv as k*k
+shifted-window matmuls, where every window ``slab[dy:dy+th, dx:dx+W, :]``
+starts at a column (sublane) offset ``dx`` and therefore needs a VMEM
+relayout before it can be an MXU operand — measured 1.34 ms/step vs XLA's
+0.69 at the north-star rollout shapes (docs/STATUS.md).  This kernel keeps
+the same cell math (reference model.py:216-231) but restructures the conv
+so every matmul operand is tile-aligned:
+
+  * All tensors live in a **padded-column layout**: longitude is padded to
+    ``wp`` (a multiple of 8 = the f32 sublane tile) with the valid data at
+    columns ``[o, o + W)`` and hard zeros in the margins.  The margins play
+    the role of the conv's SAME zero padding, and because ``wp % 8 == 0``
+    a (rows, wp, C) block flattens to (rows*wp, C) with NO relayout.
+  * The k*k taps become **k sublane rolls + k free row-block slices**: for
+    each column tap dx, roll the flattened haloed slab by (k//2 - dx) rows
+    of lanes (one cheap VPU rotation); each row tap dy is then the slice
+    ``rolled[dy*wp : dy*wp + th*wp]`` — offsets are multiples of wp (hence
+    of 8), so the slice and the (th*wp, C) matmul operand are aligned.
+  * Roll wraparound lands only in margin columns, which are masked to zero
+    when h'/c' are written, so the invariant (zero margins) carries across
+    scan steps for free.
+
+Gate nonlinearities + state update fuse in the same kernel, so per step the
+only HBM traffic is x/h/c in and h'/c' out — no 4*hidden-channel gate
+tensor ever round-trips HBM.  Two entry modes:
+
+  * standard: input is the channel-concat [x; h] (reference's fused conv);
+  * ``xg`` mode: layer 0 with the input conv hoisted out of the scan
+    (models/convlstm.py precompute_input_conv) — the kernel consumes the
+    precomputed input gates and computes only the h-conv.
+
+Training runs through a custom VJP whose backward differentiates the
+margin-masked XLA reference cell (Pallas forward speed, autodiff
+correctness), same strategy as v1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nasa_niswan_tpu.ops.conv import conv2d
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def col_margin(kernel_sizes) -> int:
+    """Uniform left-column margin shared by every layer of a stack: the
+    largest conv half-width, so one padded layout serves all layers."""
+    return max(int(k) // 2 for k in kernel_sizes)
+
+
+def padded_cols(w: int, o: int) -> int:
+    """Total column count: valid data [o, o+w), right margin >= o, and a
+    multiple of 8 so (rows, wp, C) flattens without relayout."""
+    return _round_up(w + 2 * o, 8)
+
+
+def pad_cols(x: jnp.ndarray, o: int, wp: int) -> jnp.ndarray:
+    """Zero-pad the column axis (-2 of an NHWC tensor) into the margin
+    layout: data at [o, o + W)."""
+    w = x.shape[-2]
+    cfg = [(0, 0)] * x.ndim
+    cfg[-2] = (o, wp - o - w)
+    return jnp.pad(x, cfg)
+
+
+def _pick_row_tile(h: int, max_tile: int = 10) -> int:
+    for t in range(min(h, max_tile), 0, -1):
+        if h % t == 0:
+            return t
+    return h
+
+
+def _margin_mask(th: int, wp: int, ch: int, o: int, w_valid: int):
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, wp, ch), 1)
+    return (col >= o) & (col < o + w_valid)
+
+
+def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
+                    w_valid: int, has_xg: bool):
+    """One (batch, row-tile) grid cell.
+
+    refs (inputs): prev, cur, next — (1, th, wp, C) row tiles of the
+    padded-column input (tile ti-1 / ti / ti+1, clamped at the domain
+    edges); c (1, th, wp, hidden) f32; w (k, k, C, 4*hidden); b (1, 4h);
+    [xg (1, th, wp, 4h) when has_xg].  Outputs: h', c' (1, th, wp, hidden).
+    """
+    if has_xg:
+        prev_ref, cur_ref, next_ref, c_ref, w_ref, b_ref, xg_ref, \
+            h_out_ref, c_out_ref = refs
+    else:
+        prev_ref, cur_ref, next_ref, c_ref, w_ref, b_ref, \
+            h_out_ref, c_out_ref = refs
+        xg_ref = None
+
+    ti = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    p = k // 2
+    C = cur_ref.shape[-1]
+
+    # haloed slab, flattened (rows*wp, C) — aligned because wp % 8 == 0
+    cur = cur_ref[0].reshape(th * wp, C)
+    if p:
+        top = prev_ref[0, th - p :].reshape(p * wp, C)
+        top = jnp.where(ti == 0, jnp.zeros_like(top), top)
+        bot = next_ref[0, :p].reshape(p * wp, C)
+        bot = jnp.where(ti == n_tiles - 1, jnp.zeros_like(bot), bot)
+        slab = jnp.concatenate([top, cur, bot], axis=0)
+    else:
+        slab = cur
+
+    if has_xg:
+        acc = xg_ref[0].reshape(th * wp, 4 * hidden).astype(jnp.float32)
+    else:
+        acc = jnp.zeros((th * wp, 4 * hidden), jnp.float32)
+    n_rows = (th + 2 * p) * wp
+    for dx in range(k):
+        # align column tap dx: rolled[i] = slab[i + dx - p] (circular, so
+        # the shift is taken mod n_rows — pltpu.roll requires it >= 0)
+        rolled = pltpu.roll(slab, (p - dx) % n_rows, 0) if p != dx else slab
+        for dy in range(k):
+            lhs = rolled[dy * wp : dy * wp + th * wp]  # aligned row slice
+            acc = acc + jnp.dot(
+                lhs, w_ref[dy, dx], preferred_element_type=jnp.float32
+            )
+
+    gates = (acc + b_ref[0].astype(jnp.float32)).reshape(th, wp, 4 * hidden)
+    i = jax.nn.sigmoid(gates[..., :hidden])
+    f = jax.nn.sigmoid(gates[..., hidden : 2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden : 3 * hidden])
+    og = jax.nn.sigmoid(gates[..., 3 * hidden :])
+    c_new = c_ref[0] * f + i * g
+    h_new = og * jnp.tanh(c_new)
+    # zero the margins so the layout invariant carries to the next step
+    # (kills both conv-edge garbage and roll wraparound)
+    mask = _margin_mask(th, wp, hidden, o, w_valid)
+    h_out_ref[0] = jnp.where(mask, h_new, 0.0)
+    c_out_ref[0] = jnp.where(mask, c_new, 0.0)
+
+
+def fused_cell_forward_v2(
+    xh: jnp.ndarray,  # (B, H, wp, C) compute dtype, margin layout
+    c: jnp.ndarray,  # (B, H, wp, hidden) f32, margin layout
+    w: jnp.ndarray,  # (k, k, C, 4*hidden)
+    b: jnp.ndarray,  # (4*hidden,)
+    k: int,
+    o: int,
+    w_valid: int,
+    xg: Optional[jnp.ndarray] = None,  # (B, H, wp, 4*hidden) hoisted gates
+    *,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused conv-gate cell in the padded-column layout; returns (h', c')
+    f32 in the same layout (margins zeroed)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, wp, C = xh.shape
+    hidden = c.shape[-1]
+    p = k // 2
+    th = _pick_row_tile(H)
+    if th <= p or wp % 8 or o < p or wp - o - w_valid < p:
+        return _cell_reference_v2(xh, c, w, b, k, o, w_valid, xg)
+    n_tiles = H // th
+
+    # channels to a 128-lane multiple (free on the MXU, keeps every
+    # operand's lane tiling exact)
+    C_pad = _round_up(C, 128)
+    if C_pad != C:
+        xh = jnp.pad(xh, ((0, 0), (0, 0), (0, 0), (0, C_pad - C)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, C_pad - C), (0, 0)))
+        C = C_pad
+
+    def clamp(i):
+        return jnp.clip(i, 0, n_tiles - 1)
+
+    in_block = lambda index_map: pl.BlockSpec(
+        (1, th, wp, C), index_map, memory_space=pltpu.VMEM
+    )
+    state_block = pl.BlockSpec(
+        (1, th, wp, hidden), lambda bi, ti: (bi, ti, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        in_block(lambda bi, ti: (bi, clamp(ti - 1), 0, 0)),
+        in_block(lambda bi, ti: (bi, ti, 0, 0)),
+        in_block(lambda bi, ti: (bi, clamp(ti + 1), 0, 0)),
+        state_block,
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole array
+        pl.BlockSpec(
+            (1, 4 * hidden), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    args = [xh, xh, xh, c, w, b.reshape(1, -1)]
+    if xg is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(xg)
+
+    kernel = functools.partial(
+        _cell_kernel_v2, k=k, th=th, wp=wp, hidden=hidden, o=o,
+        w_valid=w_valid, has_xg=xg is not None,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=[state_block, state_block],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, wp, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, wp, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+def _cell_reference_v2(xh, c, w, b, k, o, w_valid, xg=None):
+    """Margin-masked plain-XLA cell in the padded-column layout (identical
+    math; custom-VJP backward source and small-shape fallback)."""
+    from nasa_niswan_tpu.models.convlstm import gate_update
+
+    gates = conv2d(xh, w, padding=k // 2) + b
+    if xg is not None:
+        gates = gates + xg.astype(gates.dtype)
+    h_new, c_new = gate_update(gates, c)
+    mask = _margin_mask(1, xh.shape[-2], 1, o, w_valid)[0, :, :]
+    return h_new * mask, c_new * mask
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_cell_v2(xh, c, w, b, k, o, w_valid):
+    return fused_cell_forward_v2(xh, c, w, b, k, o, w_valid)
+
+
+def _v2_fwd(xh, c, w, b, k, o, w_valid):
+    return fused_cell_forward_v2(xh, c, w, b, k, o, w_valid), (xh, c, w, b)
+
+
+def _v2_bwd(k, o, w_valid, res, grads):
+    xh, c, w, b = res
+    _, vjp = jax.vjp(
+        lambda xh, c, w, b: _cell_reference_v2(xh, c, w, b, k, o, w_valid),
+        xh, c, w, b,
+    )
+    return vjp(grads)
+
+
+_fused_cell_v2.defvjp(_v2_fwd, _v2_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_cell_v2_xg(xg, h, c, w_h, b, k, o, w_valid):
+    return fused_cell_forward_v2(h, c, w_h, b, k, o, w_valid, xg)
+
+
+def _v2_xg_fwd(xg, h, c, w_h, b, k, o, w_valid):
+    out = fused_cell_forward_v2(h, c, w_h, b, k, o, w_valid, xg)
+    return out, (xg, h, c, w_h, b)
+
+
+def _v2_xg_bwd(k, o, w_valid, res, grads):
+    xg, h, c, w_h, b = res
+    _, vjp = jax.vjp(
+        lambda xg, h, c, w_h, b: _cell_reference_v2(
+            h, c, w_h, b, k, o, w_valid, xg
+        ),
+        xg, h, c, w_h, b,
+    )
+    return vjp(grads)
+
+
+_fused_cell_v2_xg.defvjp(_v2_xg_fwd, _v2_xg_bwd)
+
+
+def cell_step_pallas2(
+    cell, x, h, c, k: int, compute_dtype, o: int, w_valid: int,
+    *, x_already_conved: bool = False,
+):
+    """Cell step in the padded-column layout (models/convlstm.py 'pallas2'
+    path).  With ``x_already_conved``, x is the hoisted input-gate tensor
+    (B, H, wp, 4*hidden) and only the h-conv runs in the kernel."""
+    dt = jnp.dtype(compute_dtype)
+    if x_already_conved:
+        return _fused_cell_v2_xg(
+            x, h.astype(dt), c, cell["w_h"].astype(dt),
+            cell["b"].astype(jnp.float32), k, o, w_valid,
+        )
+    xh = jnp.concatenate([x.astype(dt), h.astype(dt)], axis=-1)
+    w = jnp.concatenate([cell["w_x"], cell["w_h"]], axis=2).astype(dt)
+    return _fused_cell_v2(
+        xh, c, w, cell["b"].astype(jnp.float32), k, o, w_valid
+    )

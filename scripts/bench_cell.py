@@ -1,0 +1,104 @@
+"""Cell-kernel shootout at the north-star rollout shapes (one real chip).
+
+Compares sustained rollout step time across cell implementations and the
+input-conv hoist, at the BASELINE config #2 shapes (90x144x20 fusion,
+C = 62, ConvLSTM 64/32/16 k=5/3/3, bf16, batch 1):
+
+    python scripts/bench_cell.py [--steps 384] [--reps 3] [--impls ...]
+
+Prints one JSON line per variant with ms/step and model-days/min.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# repo import bootstrap — PYTHONPATH must stay unset (it breaks the axon
+# TPU plugin; see run_results_r02.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=384)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument(
+        "--impls",
+        nargs="*",
+        default=["xla:hoist", "xla:scan", "pallas2:scan", "pallas2:hoist",
+                 "pallas:scan"],
+        help="impl:mode pairs; mode hoist = precompute_input_conv",
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nasa_niswan_tpu.data.dataset import Normalizer
+    from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, convlstm_init
+    from nasa_niswan_tpu.rollout.autoregressive import (
+        make_rollout_fn,
+        model_days_per_min,
+    )
+
+    C = 3 * 20 + 2
+    PADDED, GRID = (100, 154), (90, 144)
+    norm = Normalizer(
+        x_mean=np.zeros(C, np.float32), x_std=np.ones(C, np.float32),
+        y_mean=0.0, y_std=1.0,
+    )
+    rng = np.random.default_rng(0)
+    forcings = jnp.asarray(
+        rng.standard_normal((args.batch, args.steps, C, *GRID)).astype(
+            np.float32
+        )
+    )
+
+    base_params = None
+    for spec in args.impls:
+        impl, mode = spec.split(":")
+        cfg = ConvLSTMConfig(
+            in_channels=C, hidden_channels=(64, 32, 16),
+            kernel_sizes=(5, 3, 3), compute_dtype="bfloat16", cell_impl=impl,
+        )
+        if base_params is None:
+            base_params = convlstm_init(jax.random.PRNGKey(0), cfg)
+        rollout = make_rollout_fn(
+            cfg, norm, padded_shape=PADDED, grid_shape=GRID,
+            precompute_input_conv=(mode == "hoist"),
+        )
+        try:
+            preds, _ = rollout(base_params, forcings)
+            ref_last = np.asarray(preds[0, -1])
+            tic = time.perf_counter()
+            for _ in range(args.reps):
+                preds, _ = rollout(base_params, forcings)
+                np.asarray(preds[0, -1])
+            elapsed = (time.perf_counter() - tic) / args.reps
+        except Exception as e:  # noqa: BLE001 — report and continue
+            print(json.dumps({"impl": spec, "error": repr(e)[:300]}))
+            continue
+        ms_step = elapsed / args.steps * 1e3
+        days = model_days_per_min(args.steps, elapsed, batch=args.batch)
+        print(
+            json.dumps(
+                {
+                    "impl": spec,
+                    "ms_per_step": round(ms_step, 4),
+                    "days_per_min": round(days, 1),
+                    "last_map_mean": float(ref_last.mean()),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

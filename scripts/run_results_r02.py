@@ -20,7 +20,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+# Make the repo importable when run as `python scripts/run_results_r02.py`.
+# Do NOT use PYTHONPATH for this: any PYTHONPATH entry (even an empty
+# directory) breaks the axon TPU plugin's initialization — it leaks into a
+# helper subprocess. sys.path edits stay in-process and are safe.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -191,6 +198,14 @@ def main():
     ap.add_argument("--skip-b", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+
+    # Touch the device FIRST: the axon tunnel backend fails to initialize
+    # when its first use comes minutes into the process (observed twice:
+    # "Backend 'axon' is not in the list of known backends" after the
+    # ~4-minute fixture generation), but initializes fine at process start.
+    import jax
+
+    print("devices:", jax.devices(), flush=True)
 
     from nasa_niswan_tpu.data.synthetic import synthetic_e33oma_90d
 

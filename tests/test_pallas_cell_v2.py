@@ -1,0 +1,152 @@
+"""Second-gen fused Pallas ConvLSTM cell (padded-column layout) vs the XLA
+reference cell.  Interpreter mode on the CPU CI mesh; the compiled path is
+exercised on real TPU by bench.py / scripts/bench_cell.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nasa_niswan_tpu.ops.convlstm_pallas2 import (
+    _cell_reference_v2,
+    col_margin,
+    fused_cell_forward_v2,
+    pad_cols,
+    padded_cols,
+)
+
+
+def _mk(rng, B, H, W, C, hid, k, o):
+    wp = padded_cols(W, o)
+    xh = pad_cols(rng.standard_normal((B, H, W, C)).astype(np.float32), o, wp)
+    c = pad_cols(rng.standard_normal((B, H, W, hid)).astype(np.float32), o, wp)
+    w = (rng.standard_normal((k, k, C, 4 * hid)) * 0.1).astype(np.float32)
+    b = rng.standard_normal((4 * hid,)).astype(np.float32)
+    return xh, c, w, b, wp
+
+
+@pytest.mark.parametrize(
+    "B,H,W,C,hid,k",
+    [(1, 16, 24, 9, 8, 3), (2, 20, 28, 13, 16, 5), (1, 10, 12, 5, 4, 1)],
+)
+def test_v2_matches_reference(rng, B, H, W, C, hid, k):
+    o = max(k // 2, 1)
+    xh, c, w, b, wp = _mk(rng, B, H, W, C, hid, k, o)
+    h1, c1 = fused_cell_forward_v2(xh, c, w, b, k, o, W, interpret=True)
+    h2, c2 = _cell_reference_v2(xh, c, w, b, k, o, W)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
+
+
+def test_v2_reference_matches_plain_cell_on_valid_cols(rng):
+    """The margin-masked padded-column reference must agree with the plain
+    cell on the valid columns (the margins ARE the SAME zero padding)."""
+    from nasa_niswan_tpu.ops.convlstm_pallas import _cell_reference
+
+    B, H, W, C, hid, k = 1, 12, 20, 7, 8, 3
+    o = 2  # larger than k//2, as in a mixed-kernel stack
+    xh_std = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    c_std = rng.standard_normal((B, H, W, hid)).astype(np.float32)
+    w = (rng.standard_normal((k, k, C, 4 * hid)) * 0.1).astype(np.float32)
+    b = rng.standard_normal((4 * hid,)).astype(np.float32)
+    wp = padded_cols(W, o)
+    h2, c2 = _cell_reference_v2(
+        pad_cols(xh_std, o, wp), pad_cols(c_std, o, wp), w, b, k, o, W
+    )
+    h1, c1 = _cell_reference(xh_std, c_std, w, b, k)
+    np.testing.assert_allclose(
+        np.asarray(h2)[:, :, o : o + W], np.asarray(h1), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(c2)[:, :, o : o + W], np.asarray(c1), atol=1e-5
+    )
+    # margins stay hard zero
+    assert np.all(np.asarray(h2)[:, :, :o] == 0)
+    assert np.all(np.asarray(h2)[:, :, o + W :] == 0)
+
+
+def test_v2_xg_mode_matches_reference(rng):
+    """Hoisted-input-conv mode: kernel consumes precomputed input gates."""
+    B, H, W, Cx, hid, k = 1, 16, 24, 6, 8, 3
+    o = k // 2
+    wp = padded_cols(W, o)
+    from nasa_niswan_tpu.ops.conv import conv2d
+
+    x = pad_cols(rng.standard_normal((B, H, W, Cx)).astype(np.float32), o, wp)
+    h = pad_cols(rng.standard_normal((B, H, W, hid)).astype(np.float32), o, wp)
+    c = pad_cols(rng.standard_normal((B, H, W, hid)).astype(np.float32), o, wp)
+    wx = (rng.standard_normal((k, k, Cx, 4 * hid)) * 0.1).astype(np.float32)
+    wh = (rng.standard_normal((k, k, hid, 4 * hid)) * 0.1).astype(np.float32)
+    b = rng.standard_normal((4 * hid,)).astype(np.float32)
+    xg = conv2d(jnp.asarray(x), jnp.asarray(wx), padding=o)
+
+    h1, c1 = fused_cell_forward_v2(h, c, wh, b, k, o, W, xg, interpret=True)
+    # reference: full concat cell, masked
+    xh = jnp.concatenate([jnp.asarray(x), jnp.asarray(h)], axis=-1)
+    w_full = np.concatenate([wx, wh], axis=2)
+    h2, c2 = _cell_reference_v2(xh, c, w_full, b, k, o, W)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
+
+
+def test_v2_custom_vjp_matches_xla_grads(rng):
+    import nasa_niswan_tpu.ops.convlstm_pallas2 as cp2
+
+    B, H, W, C, hid, k = 1, 8, 12, 5, 4, 3
+    o = k // 2
+    xh, c, w, b, wp = _mk(rng, B, H, W, C, hid, k, o)
+    xh, c, w, b = map(jnp.asarray, (xh, c, w, b))
+
+    orig = cp2.fused_cell_forward_v2
+    cp2.fused_cell_forward_v2 = lambda *a, **kw: orig(*a, interpret=True, **kw)
+    try:
+        def loss_pallas(xh, c, w, b):
+            h, cn = cp2._fused_cell_v2(xh, c, w, b, k, o, W)
+            return jnp.sum(h**2) + jnp.sum(cn * 0.5)
+
+        def loss_ref(xh, c, w, b):
+            h, cn = cp2._cell_reference_v2(xh, c, w, b, k, o, W)
+            return jnp.sum(h**2) + jnp.sum(cn * 0.5)
+
+        g1 = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(xh, c, w, b)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xh, c, w, b)
+        for a, bb in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
+    finally:
+        cp2.fused_cell_forward_v2 = orig
+
+
+@pytest.mark.parametrize("hoist", [False, True])
+def test_full_model_with_pallas2_cell(rng, hoist):
+    """cell_impl='pallas2' through convlstm_apply matches the XLA path,
+    including per-step taps, state continuation, and the hoisted mode."""
+    from nasa_niswan_tpu.models.convlstm import (
+        ConvLSTMConfig,
+        convlstm_apply,
+        convlstm_init,
+    )
+
+    x = rng.standard_normal((1, 3, 16, 24, 5)).astype(np.float32)
+    base = ConvLSTMConfig(5, (4, 4), (5, 3))
+    params = convlstm_init(jax.random.PRNGKey(0), base)
+    want, want_taps, want_state = convlstm_apply(
+        params, x, base, return_per_step=True, return_state=True,
+        precompute_input_conv=hoist,
+    )
+    cfg = ConvLSTMConfig(5, (4, 4), (5, 3), cell_impl="pallas2")
+    got, got_taps, got_state = convlstm_apply(
+        params, x, cfg, return_per_step=True, return_state=True,
+        precompute_input_conv=hoist,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_taps), np.asarray(want_taps), atol=1e-5
+    )
+    # continuation: feed the returned (padded-column) state back in
+    x2 = rng.standard_normal((1, 2, 16, 24, 5)).astype(np.float32)
+    want2 = convlstm_apply(params, x2, base, initial_state=want_state)
+    got2 = convlstm_apply(params, x2, cfg, initial_state=got_state)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
+    # and a standard-layout state must be accepted too
+    got3 = convlstm_apply(params, x2, cfg, initial_state=want_state)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want2), atol=1e-5)
