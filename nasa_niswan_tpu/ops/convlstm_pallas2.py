@@ -123,16 +123,23 @@ def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
         acc = xg_ref[0].reshape(th * wp, 4 * hidden).astype(jnp.float32)
     else:
         acc = jnp.zeros((th * wp, 4 * hidden), jnp.float32)
-    n_rows = (th + 2 * p) * wp
     for dx in range(k):
-        # align column tap dx: rolled[i] = slab[i + dx - p] (circular, so
-        # the shift is taken mod n_rows — pltpu.roll requires it >= 0)
-        rolled = pltpu.roll(slab, (p - dx) % n_rows, 0) if p != dx else slab
+        # Column tap dx = a row shift of dx - p.  Rolling rows commutes
+        # with a row-wise matmul, so instead of rolling the (possibly
+        # bf16) input slab — Mosaic only implements rotates on 32-bit
+        # data — accumulate the tap's k row-slices unshifted and roll the
+        # f32 partial: roll(partial, p-dx)[i] = partial[i + dx - p]
+        # = sum_dy slab[dy*wp + i + dx - p] @ w[dy, dx].  Roll wraparound
+        # touches only rows whose longitude column lies in the zero
+        # margins (|dx-p| <= p <= o), which the output mask kills.
+        partial = jnp.zeros((th * wp, 4 * hidden), jnp.float32)
         for dy in range(k):
-            lhs = rolled[dy * wp : dy * wp + th * wp]  # aligned row slice
-            acc = acc + jnp.dot(
+            lhs = slab[dy * wp : dy * wp + th * wp]  # aligned row slice
+            partial = partial + jnp.dot(
                 lhs, w_ref[dy, dx], preferred_element_type=jnp.float32
             )
+        shift = (p - dx) % (th * wp)
+        acc = acc + (pltpu.roll(partial, shift, 0) if shift else partial)
 
     gates = (acc + b_ref[0].astype(jnp.float32)).reshape(th, wp, 4 * hidden)
     i = jax.nn.sigmoid(gates[..., :hidden])
