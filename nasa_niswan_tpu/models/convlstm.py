@@ -46,7 +46,7 @@ class ConvLSTMConfig:
     kernel_sizes: Tuple[int, ...] = (5, 3, 3)
     out_channels: int = 1
     compute_dtype: str = "float32"  # "bfloat16" for MXU-native training/serving
-    cell_impl: str = "xla"  # "xla" | "pallas"
+    cell_impl: str = "xla"  # "xla" | "pallas" | "pallas2" (fused TPU kernel)
     remat: bool = False  # rematerialize scan steps in the backward pass
     # (trade FLOPs for activation memory: O(1) stored activations per step
     # instead of every cell intermediate — enables long-T / 20-level

@@ -69,6 +69,7 @@ def make_rollout_fn(
     collect_taps: bool = False,
     unnormalize: bool = True,
     precompute_input_conv: Optional[bool] = None,
+    cell_impl: Optional[str] = "auto",
 ) -> Callable:
     """Compiled state-carrying rollout for the ConvLSTM emulator.
 
@@ -78,17 +79,38 @@ def make_rollout_fn(
     suitable for chunked decadal runs: feed the next forcing chunk with the
     returned state.
 
+    cell_impl="auto" (default) picks the serving cell: the fused Pallas v2
+    kernel on a real TPU backend (hardware-measured 0.375 vs 0.52 ms/step
+    for the XLA cell at north-star shapes, scripts/bench_cell.py), the
+    config's own impl elsewhere (the v2 kernel's non-TPU path is the slow
+    Pallas interpreter).  Pass None to always respect ``config.cell_impl``,
+    or an impl name to force one.  For GSPMD-spatially-sharded serving
+    (sharded forcings/state under a mesh) pass None/"xla": a pallas_call is
+    opaque to the GSPMD partitioner; the explicit-halo sharded path lives
+    in parallel/spatial.make_sharded_rollout_fn.
+
     precompute_input_conv=None auto-hoists layer 0's input conv out of the
     scan as one (B*T)-batched conv when the hoisted activation buffer
     (B, T, H, W, 4*hidden0) stays under ~4 GB — measured 1.95x rollout
-    throughput at the north-star shapes (the per-step batch-1 conv is the
-    MXU-utilization bottleneck; docs/STATUS.md r1 gap #2).
+    throughput at the north-star shapes with the XLA cell (the per-step
+    batch-1 conv is the MXU-utilization bottleneck; docs/STATUS.md r1 gap
+    #2).  The fused kernel never round-trips the gate tensor through HBM,
+    so hoisting only adds traffic there (0.46 vs 0.375 ms/step measured) —
+    auto keeps it off for pallas2.
     """
+    if cell_impl == "auto":
+        cell_impl = "pallas2" if jax.default_backend() == "tpu" else None
+    if cell_impl is not None and cell_impl != config.cell_impl:
+        import dataclasses
+
+        config = dataclasses.replace(config, cell_impl=cell_impl)
     static_z = None if static is None else zscore_static(static)
 
     def _auto_hoist(B: int, T: int) -> bool:
         if precompute_input_conv is not None:
             return precompute_input_conv
+        if config.cell_impl == "pallas2":
+            return False
         H, W = padded_shape
         itemsize = 2 if config.compute_dtype == "bfloat16" else 4
         hoisted = B * T * H * W * 4 * config.hidden_channels[0] * itemsize

@@ -72,7 +72,7 @@ def main():
             base_params = convlstm_init(jax.random.PRNGKey(0), cfg)
         rollout = make_rollout_fn(
             cfg, norm, padded_shape=PADDED, grid_shape=GRID,
-            precompute_input_conv=(mode == "hoist"),
+            precompute_input_conv=(mode == "hoist"), cell_impl=None,
         )
         try:
             preds, _ = rollout(base_params, forcings)
