@@ -79,15 +79,18 @@ def make_rollout_fn(
     suitable for chunked decadal runs: feed the next forcing chunk with the
     returned state.
 
-    cell_impl="auto" (default) picks the serving cell: the fused Pallas v2
-    kernel on a real TPU backend (hardware-measured 0.375 vs 0.52 ms/step
-    for the XLA cell at north-star shapes, scripts/bench_cell.py), the
-    config's own impl elsewhere (the v2 kernel's non-TPU path is the slow
-    Pallas interpreter).  Pass None to always respect ``config.cell_impl``,
-    or an impl name to force one.  For GSPMD-spatially-sharded serving
-    (sharded forcings/state under a mesh) pass None/"xla": a pallas_call is
-    opaque to the GSPMD partitioner; the explicit-halo sharded path lives
-    in parallel/spatial.make_sharded_rollout_fn.
+    cell_impl="auto" (default) picks the serving cell per traced batch
+    size on a real TPU backend: the fused Pallas v2 kernel at B=1
+    (hardware-measured 0.375 vs 0.52 ms/step for the XLA cell at
+    north-star shapes) and the XLA cell at B>1, where XLA's batched convs
+    win back the lead (B=8: 3.43 vs 4.29 ms/step aggregate,
+    scripts/bench_cell.py).  Off-TPU, auto keeps the config's own impl
+    (the v2 kernel's non-TPU path is the slow Pallas interpreter).  Pass
+    None to always respect ``config.cell_impl``, or an impl name to force
+    one.  For GSPMD-spatially-sharded serving (sharded forcings/state
+    under a mesh) pass None/"xla": a pallas_call is opaque to the GSPMD
+    partitioner; the explicit-halo sharded path lives in
+    parallel/spatial.make_sharded_rollout_fn.
 
     precompute_input_conv=None auto-hoists layer 0's input conv out of the
     scan as one (B*T)-batched conv when the hoisted activation buffer
@@ -98,27 +101,35 @@ def make_rollout_fn(
     so hoisting only adds traffic there (0.46 vs 0.375 ms/step measured) —
     auto keeps it off for pallas2.
     """
-    if cell_impl == "auto":
-        cell_impl = "pallas2" if jax.default_backend() == "tpu" else None
-    if cell_impl is not None and cell_impl != config.cell_impl:
-        import dataclasses
+    import dataclasses
 
-        config = dataclasses.replace(config, cell_impl=cell_impl)
+    def _effective_config(B: int) -> ConvLSTMConfig:
+        impl = cell_impl
+        if impl == "auto":
+            if jax.default_backend() == "tpu":
+                impl = "pallas2" if B == 1 else "xla"
+            else:
+                impl = None
+        if impl is None or impl == config.cell_impl:
+            return config
+        return dataclasses.replace(config, cell_impl=impl)
+
     static_z = None if static is None else zscore_static(static)
 
-    def _auto_hoist(B: int, T: int) -> bool:
+    def _auto_hoist(cfg: ConvLSTMConfig, B: int, T: int) -> bool:
         if precompute_input_conv is not None:
             return precompute_input_conv
-        if config.cell_impl == "pallas2":
+        if cfg.cell_impl == "pallas2":
             return False
         H, W = padded_shape
-        itemsize = 2 if config.compute_dtype == "bfloat16" else 4
-        hoisted = B * T * H * W * 4 * config.hidden_channels[0] * itemsize
+        itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
+        hoisted = B * T * H * W * 4 * cfg.hidden_channels[0] * itemsize
         return hoisted < 4 * 1024**3
 
     @jax.jit
     def rollout(params, forcings, initial_state=None):
         B, T = forcings.shape[:2]
+        cfg = _effective_config(B)
         H, W = padded_shape
         if initial_state is None:
             initial_state = [
@@ -131,7 +142,7 @@ def make_rollout_fn(
         # Preprocess ALL frames in one vectorized op before the scan — a
         # per-step pad/transpose inside the scan body costs far more than
         # the cell compute itself (measured ~30x on v5e at batch 1).
-        compute_dtype = jnp.dtype(config.compute_dtype)
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
         cast = compute_dtype if compute_dtype != jnp.float32 else None
         xs = _prep_frame(forcings, normalizer, static_z, padded_shape, cast)
 
@@ -155,9 +166,9 @@ def make_rollout_fn(
         _, preds, final_state = convlstm_apply(
             params,
             xs,
-            config,
+            cfg,
             return_per_step=True,
-            precompute_input_conv=_auto_hoist(B, T),
+            precompute_input_conv=_auto_hoist(cfg, B, T),
             initial_state=initial_state,
             return_state=True,
             tap_fn=tap,

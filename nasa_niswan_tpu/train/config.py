@@ -40,7 +40,7 @@ class TrainConfig:
     restore_from: str = "./snapshots"
     # --- TPU-native settings ---
     compute_dtype: str = "float32"  # "bfloat16" for MXU-native training
-    cell_impl: str = "xla"  # "xla" | "pallas"
+    cell_impl: str = "xla"  # "xla" | "pallas" | "pallas2" (fused TPU kernel)
     precompute_input_conv: bool = False
     seed: int = 0
     data_path: Optional[str] = None  # packed npz; None -> synthetic fixture
