@@ -59,6 +59,11 @@ def _prep_frame(x, normalizer, static, padded_shape, cast_dtype=None):
     return jnp.moveaxis(x, -3, -1)
 
 
+def _serving_backend() -> str:
+    """The backend cell_impl='auto' keys off (seam for tests)."""
+    return jax.default_backend()
+
+
 def make_rollout_fn(
     config: ConvLSTMConfig,
     normalizer: Normalizer,
@@ -106,7 +111,7 @@ def make_rollout_fn(
     def _effective_config(B: int) -> ConvLSTMConfig:
         impl = cell_impl
         if impl == "auto":
-            if jax.default_backend() == "tpu":
+            if _serving_backend() == "tpu":
                 impl = "pallas2" if B == 1 else "xla"
             else:
                 impl = None

@@ -118,3 +118,42 @@ def test_model_days_per_min():
     # 480 steps at 48/day in 30 s -> 10 days / 0.5 min = 20 days/min
     assert model_days_per_min(480, 30.0) == pytest.approx(20.0)
     assert model_days_per_min(480, 30.0, batch=4) == pytest.approx(80.0)
+
+
+def test_auto_cell_impl_selection(setup, monkeypatch):
+    """cell_impl='auto' picks the fused pallas2 kernel only at B=1 on a TPU
+    backend, keeps the config impl off-TPU, and honors explicit overrides."""
+    from nasa_niswan_tpu.rollout import autoregressive as ar
+
+    cfg, params, norm, forcings = setup
+
+    chosen = []
+    real_apply = ar.convlstm_apply
+
+    def spy(params, x, config, **kw):
+        chosen.append(config.cell_impl)
+        return real_apply(params, x, config, **kw)
+
+    monkeypatch.setattr(ar, "convlstm_apply", spy)
+
+    # off-TPU (this suite runs on the CPU mesh): auto keeps the config impl
+    r = make_rollout_fn(cfg, norm, padded_shape=PADDED, grid_shape=GRID)
+    r(params, forcings)
+    assert chosen[-1] == cfg.cell_impl == "xla"
+
+    # fake a TPU backend: B=1 -> pallas2 (interpreted here), B>1 -> xla
+    monkeypatch.setattr(ar, "_serving_backend", lambda: "tpu")
+    r = make_rollout_fn(cfg, norm, padded_shape=PADDED, grid_shape=GRID)
+    p1, _ = r(params, forcings[:1, :3])
+    assert chosen[-1] == "pallas2"
+    r(params, forcings[:, :3])
+    assert chosen[-1] == "xla"
+
+    # explicit override beats auto
+    r = make_rollout_fn(
+        cfg, norm, padded_shape=PADDED, grid_shape=GRID, cell_impl="xla"
+    )
+    p1x, _ = r(params, forcings[:1, :3])
+    assert chosen[-1] == "xla"
+    # and the two impls agree numerically (f32, interpreter vs XLA)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p1x), atol=1e-4)
