@@ -85,11 +85,11 @@ def make_rollout_fn(
     returned state.
 
     cell_impl="auto" (default) picks the serving cell per traced batch
-    size on a real TPU backend: the fused Pallas v2 kernel at B=1
-    (hardware-measured 0.375 vs 0.52 ms/step for the XLA cell at
-    north-star shapes) and the XLA cell at B>1, where XLA's batched convs
-    win back the lead (B=8: 3.43 vs 4.29 ms/step aggregate,
-    scripts/bench_cell.py).  Off-TPU, auto keeps the config's own impl
+    size on a real TPU backend: the fused Pallas v2 kernel up to B=4
+    (hardware-measured ms/step pallas2-vs-XLA at north-star shapes:
+    B=1 0.375/0.524, B=2 0.77/1.05, B=4 2.02/2.23) and the XLA cell
+    beyond, where XLA's batched convs win back the lead (B=8: 3.43 vs
+    4.29; scripts/bench_cell.py).  Off-TPU, auto keeps the config's own impl
     (the v2 kernel's non-TPU path is the slow Pallas interpreter).  Pass
     None to always respect ``config.cell_impl``, or an impl name to force
     one.  For GSPMD-spatially-sharded serving (sharded forcings/state
@@ -112,7 +112,7 @@ def make_rollout_fn(
         impl = cell_impl
         if impl == "auto":
             if _serving_backend() == "tpu":
-                impl = "pallas2" if B == 1 else "xla"
+                impl = "pallas2" if B <= 4 else "xla"
             else:
                 impl = None
         if impl is None or impl == config.cell_impl:

@@ -141,12 +141,13 @@ def test_auto_cell_impl_selection(setup, monkeypatch):
     r(params, forcings)
     assert chosen[-1] == cfg.cell_impl == "xla"
 
-    # fake a TPU backend: B=1 -> pallas2 (interpreted here), B>1 -> xla
+    # fake a TPU backend: B<=4 -> pallas2 (interpreted here), B>4 -> xla
     monkeypatch.setattr(ar, "_serving_backend", lambda: "tpu")
     r = make_rollout_fn(cfg, norm, padded_shape=PADDED, grid_shape=GRID)
     p1, _ = r(params, forcings[:1, :3])
     assert chosen[-1] == "pallas2"
-    r(params, forcings[:, :3])
+    big = np.concatenate([forcings[:, :3]] * 3, axis=0)  # B=6
+    r(params, big)
     assert chosen[-1] == "xla"
 
     # explicit override beats auto
