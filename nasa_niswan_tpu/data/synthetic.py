@@ -82,7 +82,7 @@ def _advect_tracer(
 
 def synthetic_e33oma_90d(
     *,
-    species: str = "bcb",
+    species="bcb",
     T: int = 480,
     H: int = 90,
     W: int = 144,
@@ -93,11 +93,19 @@ def synthetic_e33oma_90d(
 ) -> Dict[str, np.ndarray]:
     """Generate an E33OMA-90Days-shaped dataset.
 
-    Returns a dict with keys u, v, omega, prec, ``{species}_src``,
-    ``{species}_conc`` each (T, H, W) float32 (or (T, nlev, H, W) for the
+    Returns a dict with keys u, v, omega, prec, ``{sp}_src``,
+    ``{sp}_conc`` each (T, H, W) float32 (or (T, nlev, H, W) for the
     tracer concentration when nlev > 1), plus ``static`` (n_static, H, W)
     standing in for static_attrs.nc (dataset.py:100-122).
+
+    ``species`` may be a single name or a sequence of names: each species
+    gets its own emission field and advected concentration driven by the
+    SAME meteorology — the multi-tracer (config #5) fixture, mirroring how
+    the reference's three tracers share one ModelE atmosphere
+    (dataset.py:198-253).  A single name reproduces the historical draws
+    bit-for-bit.
     """
+    species_list = [species] if isinstance(species, str) else list(species)
     rng = np.random.default_rng(seed)
     # generate burn_in extra leading steps so the advected tracer reaches
     # statistical steady state (relaxation time ~ 1/(decay*dt) = 250 steps);
@@ -109,21 +117,28 @@ def synthetic_e33oma_90d(
     omega = _spectral_field(rng, Tb, H, W, mean=0.0, amp=6e-5)
     prec = np.maximum(_spectral_field(rng, Tb, H, W, mean=1.0, amp=6.0), 0.0)
 
-    # localized bursty emissions (biomass-burning flavor)
-    base = np.maximum(_spectral_field(rng, 1, H, W, amp=3.0)[0], 0.0) ** 2
-    season = 1.0 + 0.5 * np.sin(2 * np.pi * np.arange(Tb) / max(Tb, 1))
-    src = base[None] * season[:, None, None].astype(np.float32)
-    src *= rng.uniform(0.5, 1.5, size=(Tb, 1, 1)).astype(np.float32)
+    tracers = {}
+    for sp in species_list:
+        # localized bursty emissions (biomass-burning flavor)
+        base = np.maximum(_spectral_field(rng, 1, H, W, amp=3.0)[0], 0.0) ** 2
+        season = 1.0 + 0.5 * np.sin(2 * np.pi * np.arange(Tb) / max(Tb, 1))
+        src = base[None] * season[:, None, None].astype(np.float32)
+        src *= rng.uniform(0.5, 1.5, size=(Tb, 1, 1)).astype(np.float32)
 
-    conc = _advect_tracer(u * 0.1, v * 0.1, src)
-    u, v, omega, prec, src, conc = (
-        a[burn_in:] for a in (u, v, omega, prec, src, conc)
-    )
+        conc = _advect_tracer(u * 0.1, v * 0.1, src)
+        src, conc = src[burn_in:], conc[burn_in:]
+        if nlev > 1:
+            # vertical structure: exponential decay with level plus jitter
+            profile = np.exp(-np.arange(nlev, dtype=np.float32) / 6.0)
+            conc = conc[:, None] * profile[None, :, None, None]
+            conc += (
+                0.01 * rng.standard_normal(conc.shape).astype(np.float32) * conc
+            )
+        tracers[f"{sp}_src"] = src
+        tracers[f"{sp}_conc"] = conc.astype(np.float32)
+
+    u, v, omega, prec = (a[burn_in:] for a in (u, v, omega, prec))
     if nlev > 1:
-        # vertical structure: exponential decay with level plus small jitter
-        profile = np.exp(-np.arange(nlev, dtype=np.float32) / 6.0)
-        conc = conc[:, None] * profile[None, :, None, None]
-        conc += 0.01 * rng.standard_normal(conc.shape).astype(np.float32) * conc
         # 3-D meteorology: surface winds sheared/scaled with height (the
         # 20-level fusion inputs, data/fusion.py)
         shear = (1.0 + 0.08 * np.arange(nlev, dtype=np.float32))[None, :, None, None]
@@ -141,8 +156,7 @@ def synthetic_e33oma_90d(
         "v": v,
         "omega": omega,
         "prec": prec,
-        f"{species}_src": src,
-        f"{species}_conc": conc.astype(np.float32),
+        **tracers,
         "static": static,
     }
     return out

@@ -137,3 +137,18 @@ def test_batch_iterator_and_prefetch(data):
     # deterministic order for a given seed/epoch
     again = list(batch_iterator(ds, 8, seed=1))
     np.testing.assert_array_equal(np.asarray(batches[0][1]), again[0][1])
+
+
+def test_synthetic_multispecies_shared_met():
+    """Multi-species fixture: one atmosphere, per-species tracers; the first
+    species reproduces the single-species draws bit-for-bit."""
+    single = synthetic_e33oma_90d(T=32, seed=3)
+    multi = synthetic_e33oma_90d(T=32, seed=3, species=("bcb", "ss", "clay"))
+    for k in ("u", "v", "omega", "prec"):
+        np.testing.assert_array_equal(multi[k], single[k])
+    np.testing.assert_array_equal(multi["bcb_src"], single["bcb_src"])
+    np.testing.assert_array_equal(multi["bcb_conc"], single["bcb_conc"])
+    for sp in ("ss", "clay"):
+        assert multi[f"{sp}_src"].shape == single["bcb_src"].shape
+        assert not np.array_equal(multi[f"{sp}_src"], multi["bcb_src"])
+    assert not np.array_equal(multi["ss_conc"], multi["clay_conc"])
