@@ -1,0 +1,136 @@
+"""Config #5 end-to-end: three tracers, one compiled serving program.
+
+Trains one canonical surface emulator per species (BCB / sea salt / clay)
+on a shared-atmosphere synthetic realization, stacks the three parameter
+sets, and serves all species through ONE jitted shared-meteorology rollout
+(`rollout/multitracer.make_multitracer_rollout_shared`) over the test tail
+— the in-line ModelE-surrogate mode where every tracer must advance each
+model timestep.  Reports per-species closed-loop temporal R² and the
+aggregate serving throughput (species-days/min).
+
+    python scripts/run_multitracer_demo.py [--steps 1440] [--epochs 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SPECIES = ("bcb", "ss", "clay")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1440)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=288)
+    ap.add_argument("--out", default="/tmp/multitracer_demo")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    import jax
+
+    print("devices:", jax.devices(), flush=True)
+
+    from nasa_niswan_tpu.data.dataset import SequenceDataset
+    from nasa_niswan_tpu.data.synthetic import synthetic_e33oma_90d
+    from nasa_niswan_tpu.evalx.metrics import r2_temporal
+    from nasa_niswan_tpu.models.registry import build_model
+    from nasa_niswan_tpu.rollout.autoregressive import model_days_per_min
+    from nasa_niswan_tpu.rollout.multitracer import (
+        make_multitracer_rollout_shared,
+        stack_params,
+    )
+    from nasa_niswan_tpu.train.config import TrainConfig
+    from nasa_niswan_tpu.train.loop import fit
+
+    t0 = time.time()
+    data = synthetic_e33oma_90d(T=args.steps, seed=11, species=SPECIES)
+    print(f"fixture T={args.steps} x3 species: {time.time()-t0:.0f}s", flush=True)
+
+    # one emulator per species (the reference's --species contract)
+    params_list, norms, test_sets = [], [], []
+    for sp in SPECIES:
+        mk = lambda period: SequenceDataset(
+            data, period=period, sequence_length=48, species=sp, in_channels=5
+        )
+        train_ds, val_ds, test_ds = mk("train"), mk("val"), mk("test")
+        cfg = TrainConfig(
+            model=f"LSTM-MT-{sp}", species=sp, in_channels=5,
+            num_layers=3, hidden_channels=(64, 32, 16), kernel_size=(5, 3, 3),
+            sequence_length=48, num_epochs=args.epochs, batch_size=8,
+            input_size=(100, 154), compute_dtype="bfloat16",
+            checkpoint_every=args.epochs,
+            snapshot_dir=os.path.join(args.out, f"run_{sp}"),
+        )
+        bundle = build_model(
+            cfg.model, in_channels=5, hidden_channels=cfg.hidden_channels,
+            kernel_sizes=cfg.kernel_size, compute_dtype="bfloat16", remat=True,
+        )
+        cfg.dump()
+        t0 = time.time()
+        out = fit(bundle, train_ds, val_ds, cfg)
+        print(f"[{sp}] train {time.time()-t0:.0f}s "
+              f"val R2 {out['logger']['r2_score_val'][-1]:.3f}", flush=True)
+        params_list.append(out["params"])
+        norms.append(train_ds.normalizer)
+        test_sets.append(test_ds)
+
+    stacked = stack_params(params_list)
+    rollout = make_multitracer_rollout_shared(
+        bundle.config, norms, padded_shape=(100, 154), grid_shape=(90, 144)
+    )
+
+    # shared met + per-species emissions over the common test tail; the
+    # species' forcing streams share channels 0-3 (one atmosphere) and
+    # differ only in the emission channel 4
+    streams = [ds.forcing_stream() for ds in test_sets]
+    frames0, _ = streams[0]
+    met = frames0[:, :4]  # (T, 4, H, W)
+    emis = np.stack([f[:, 4] for f, _ in streams])  # (S, T, H, W)
+    gts = np.stack([t for _, t in streams])  # (S, N) targets, N = T-seq+1
+    T_test = met.shape[0]
+    n_tgt = gts.shape[1]
+
+    state = None
+    preds = []
+    t0 = time.time()
+    for s in range(0, T_test, args.chunk):
+        p, state = rollout(
+            stacked,
+            met[s : s + args.chunk][None],  # (1, t, 4, H, W)
+            emis[:, None, s : s + args.chunk],
+            state,
+        )
+        preds.append(np.asarray(p[:, 0]))
+    elapsed = time.time() - t0
+    preds = np.concatenate(preds, axis=1)  # (S, T, h, w)
+
+    days_min = model_days_per_min(T_test, elapsed, batch=len(SPECIES))
+    preds_aligned = preds[:, -n_tgt:]  # last N predictions match targets
+    result = {
+        "config": "3-species shared-met multitracer rollout (config #5)",
+        "test_steps": int(T_test),
+        "serving_wall_s": round(elapsed, 1),
+        "aggregate_species_days_per_min": round(days_min, 1),
+        "per_species_temporal_r2_mean": {
+            sp: float(
+                np.nanmean(np.asarray(r2_temporal(gts[i], preds_aligned[i])))
+            )
+            for i, sp in enumerate(SPECIES)
+        },
+    }
+    print(json.dumps(result, indent=2), flush=True)
+    with open(os.path.join(args.out, "results_multitracer.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
