@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-SPECIES = ("bcb", "ss", "clay")
+SPECIES = ("bcb", "seasalt", "clay")
 
 
 def main():
