@@ -209,3 +209,40 @@ def test_manual_sharded_rollout_parity_and_continuation(rng):
 
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
+
+
+def test_init_distributed_single_process():
+    """parallel/mesh.init_distributed drives jax.distributed.initialize for
+    real (single-process coordinator) — in a subprocess, since distributed
+    init is once-per-process global state.  Covers the multi-host launch
+    helper (SURVEY §2.5 multi-host row) to the extent one host allows."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    code = f"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from nasa_niswan_tpu.parallel.mesh import init_distributed, make_mesh
+idx = init_distributed("localhost:{port}", num_processes=1, process_id=0)
+assert idx == 0, idx
+assert jax.process_count() == 1
+mesh = make_mesh(dp=2, devices=jax.devices()[:2])
+import numpy as np, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+x = jax.device_put(np.ones((4, 3), np.float32), NamedSharding(mesh, P("dp")))
+assert float(jnp.sum(x)) == 12.0
+print("DIST-OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "DIST-OK" in out.stdout, (out.stdout, out.stderr)
