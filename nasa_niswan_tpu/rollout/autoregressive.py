@@ -64,6 +64,25 @@ def _serving_backend() -> str:
     return jax.default_backend()
 
 
+def resolve_cell_impl(config, B: int, cell_impl: Optional[str] = "auto"):
+    """Per-trace serving-cell policy, shared by the rollout builders
+    (single-tracer and multitracer): 'auto' picks the fused pallas2 kernel
+    for B<=4 on a real TPU backend and the XLA cell beyond (measured
+    crossover, scripts/bench_cell.py); None keeps ``config.cell_impl``;
+    any impl name forces it.  Returns a (possibly replaced) config."""
+    impl = cell_impl
+    if impl == "auto":
+        if _serving_backend() == "tpu":
+            impl = "pallas2" if B <= 4 else "xla"
+        else:
+            impl = None
+    if impl is None or impl == config.cell_impl:
+        return config
+    import dataclasses
+
+    return dataclasses.replace(config, cell_impl=impl)
+
+
 def make_rollout_fn(
     config: ConvLSTMConfig,
     normalizer: Normalizer,
@@ -106,18 +125,8 @@ def make_rollout_fn(
     so hoisting only adds traffic there (0.46 vs 0.375 ms/step measured) —
     auto keeps it off for pallas2.
     """
-    import dataclasses
-
     def _effective_config(B: int) -> ConvLSTMConfig:
-        impl = cell_impl
-        if impl == "auto":
-            if _serving_backend() == "tpu":
-                impl = "pallas2" if B <= 4 else "xla"
-            else:
-                impl = None
-        if impl is None or impl == config.cell_impl:
-            return config
-        return dataclasses.replace(config, cell_impl=impl)
+        return resolve_cell_impl(config, B, cell_impl)
 
     static_z = None if static is None else zscore_static(static)
 

@@ -38,12 +38,31 @@ def stack_normalizers(norms: Sequence[Normalizer]) -> Normalizer:
     )
 
 
+def _split_state(state, s: int):
+    """Per-species view of the stacked (S, ...) carry, or None."""
+    if state is None:
+        return None
+    return [(h[s], c[s]) for h, c in state]
+
+
+def _stack_states(states):
+    """Per-species carries -> stacked (S, ...) carry (layer-major)."""
+    return [
+        (
+            jnp.stack([st[li][0] for st in states]),
+            jnp.stack([st[li][1] for st in states]),
+        )
+        for li in range(len(states[0]))
+    ]
+
+
 def make_multitracer_rollout(
     config: ConvLSTMConfig,
     normalizers: Sequence[Normalizer],
     *,
     padded_shape: Tuple[int, int] = (100, 154),
     grid_shape: Tuple[int, int] = (90, 144),
+    cell_impl: str | None = "auto",
 ):
     """Compiled rollout over S species at once.
 
@@ -51,20 +70,34 @@ def make_multitracer_rollout(
     ``forcings`` (S, B, T, C, H, W) — per-species forcing streams (the
     meteorology repeats; the emission channel differs per species) — and
     output (S, B, T, h, w) physical-unit predictions + stacked carry.
-    """
-    stacked = stack_normalizers(normalizers)
 
-    # make_rollout_fn bakes the normalizer in as constants; under vmap the
-    # per-species constants are vmapped operands instead
-    def single_dyn(params, forcings, x_mean, x_std, y_mean, y_std, state):
+    The species axis is unrolled at TRACE time (S scans in one jitted
+    program), NOT vmapped: vmapping over the parameter pytree batches the
+    conv *filters*, which XLA lowers as grouped convolutions that run ~6x
+    slower on TPU than S plain convs (measured 5.1 vs 0.9 ms/step for S=3
+    at canonical surface shapes).  ``cell_impl`` follows the same auto
+    policy as make_rollout_fn, applied at the per-species batch size.
+    """
+    from nasa_niswan_tpu.rollout.autoregressive import resolve_cell_impl
+
+    norms = [
+        (
+            np.asarray(n.x_mean, np.float32),
+            np.asarray(n.x_std, np.float32),
+            np.float32(n.y_mean),
+            np.float32(n.y_std),
+        )
+        for n in normalizers
+    ]
+
+    def single_dyn(cfg, params, forcings, x_mean, x_std, y_mean, y_std, state):
         from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
         from nasa_niswan_tpu.models.convlstm import convlstm_apply
         from nasa_niswan_tpu.ops.conv import conv2d
 
-        B, T = forcings.shape[:2]
         x = (forcings - x_mean.reshape(-1, 1, 1)) / x_std.reshape(-1, 1, 1)
         x = jnp.moveaxis(pad_geo(x, padded_shape), -3, -1)
-        compute_dtype = jnp.dtype(config.compute_dtype)
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
 
         def tap(h_last):
             p = conv2d(
@@ -75,34 +108,24 @@ def make_multitracer_rollout(
             return crop_to_grid(p[..., 0], grid_shape) * y_std + y_mean
 
         _, preds, new_state = convlstm_apply(
-            params, x, config, return_per_step=True, initial_state=state,
+            params, x, cfg, return_per_step=True, initial_state=state,
             return_state=True, tap_fn=tap,
         )
         return preds, new_state
 
-    vmapped = jax.vmap(single_dyn)
-
     @jax.jit
     def rollout(stacked_params, forcings, state=None):
         S, B = forcings.shape[:2]
-        H, W = padded_shape
-        if state is None:
-            state = [
-                (
-                    jnp.zeros((S, B, H, W, hc), jnp.float32),
-                    jnp.zeros((S, B, H, W, hc), jnp.float32),
-                )
-                for hc in config.hidden_channels
-            ]
-        return vmapped(
-            stacked_params,
-            forcings,
-            jnp.asarray(stacked.x_mean),
-            jnp.asarray(stacked.x_std),
-            jnp.asarray(stacked.y_mean),
-            jnp.asarray(stacked.y_std),
-            state,
-        )
+        cfg = resolve_cell_impl(config, B, cell_impl)
+        preds, new_states = [], []
+        for s in range(S):
+            p_s = jax.tree.map(lambda x: x[s], stacked_params)
+            out, ns = single_dyn(
+                cfg, p_s, forcings[s], *norms[s], _split_state(state, s)
+            )
+            preds.append(out)
+            new_states.append(ns)
+        return jnp.stack(preds), _stack_states(new_states)
 
     return rollout
 
@@ -113,6 +136,7 @@ def make_multitracer_rollout_shared(
     *,
     padded_shape: Tuple[int, int] = (100, 154),
     grid_shape: Tuple[int, int] = (90, 144),
+    cell_impl: str | None = "auto",
 ):
     """Multi-tracer rollout with DE-DUPLICATED forcings.
 
@@ -135,17 +159,32 @@ def make_multitracer_rollout_shared(
     variables; species JSONs differ only in src/conc slots) — species 0's
     values are used.  The emission slot (last input channel) stays
     per-species.
+
+    Like make_multitracer_rollout, the species axis is a trace-time unroll,
+    not a vmap (vmapped filters = slow grouped convs on TPU); the shared
+    met tensor is prepared once and reused by all S scans.
     """
-    stacked = stack_normalizers(normalizers)
+    from nasa_niswan_tpu.rollout.autoregressive import resolve_cell_impl
+
     met_mean = np.asarray(normalizers[0].x_mean[:-1], np.float32)
     met_std = np.asarray(normalizers[0].x_std[:-1], np.float32)
+    emis_stats = [
+        (
+            np.float32(n.x_mean[-1]),
+            np.float32(n.x_std[-1]),
+            np.float32(n.y_mean),
+            np.float32(n.y_std),
+        )
+        for n in normalizers
+    ]
 
-    def single_dyn(params, met_xs, emis, e_mean, e_std, y_mean, y_std, state):
+    def single_dyn(cfg, params, met_xs, emis, e_mean, e_std, y_mean, y_std,
+                   state):
         from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
         from nasa_niswan_tpu.models.convlstm import convlstm_apply
         from nasa_niswan_tpu.ops.conv import conv2d
 
-        compute_dtype = jnp.dtype(config.compute_dtype)
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
         e = ((emis - e_mean) / e_std).astype(compute_dtype)
         e = pad_geo(e, padded_shape)[..., None]  # (B, T, H, W, 1)
 
@@ -158,42 +197,30 @@ def make_multitracer_rollout_shared(
             return crop_to_grid(p[..., 0], grid_shape) * y_std + y_mean
 
         _, preds, new_state = convlstm_apply(
-            params, (met_xs, e), config, return_per_step=True,
+            params, (met_xs, e), cfg, return_per_step=True,
             initial_state=state, return_state=True, tap_fn=tap,
         )
         return preds, new_state
 
-    vmapped = jax.vmap(
-        single_dyn, in_axes=(0, None, 0, 0, 0, 0, 0, 0)
-    )
-
     @jax.jit
     def rollout(stacked_params, met, emissions, state=None):
         S, B = emissions.shape[:2]
-        H, W = padded_shape
-        if state is None:
-            state = [
-                (
-                    jnp.zeros((S, B, H, W, hc), jnp.float32),
-                    jnp.zeros((S, B, H, W, hc), jnp.float32),
-                )
-                for hc in config.hidden_channels
-            ]
+        cfg = resolve_cell_impl(config, B, cell_impl)
         from nasa_niswan_tpu.core.padding import pad_geo
 
-        compute_dtype = jnp.dtype(config.compute_dtype)
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
         m = (met - met_mean.reshape(-1, 1, 1)) / met_std.reshape(-1, 1, 1)
         m = m.astype(compute_dtype)
         met_xs = jnp.moveaxis(pad_geo(m, padded_shape), -3, -1)  # (B,T,H,W,Cm)
-        return vmapped(
-            stacked_params,
-            met_xs,
-            emissions,
-            jnp.asarray(stacked.x_mean[:, -1]),
-            jnp.asarray(stacked.x_std[:, -1]),
-            jnp.asarray(stacked.y_mean),
-            jnp.asarray(stacked.y_std),
-            state,
-        )
+        preds, new_states = [], []
+        for s in range(S):
+            p_s = jax.tree.map(lambda x: x[s], stacked_params)
+            out, ns = single_dyn(
+                cfg, p_s, met_xs, emissions[s], *emis_stats[s],
+                _split_state(state, s),
+            )
+            preds.append(out)
+            new_states.append(ns)
+        return jnp.stack(preds), _stack_states(new_states)
 
     return rollout
