@@ -47,6 +47,8 @@ class ConvLSTMConfig:
     out_channels: int = 1
     compute_dtype: str = "float32"  # "bfloat16" for MXU-native training/serving
     cell_impl: str = "xla"  # "xla" | "pallas" | "pallas2" (fused TPU kernel)
+    scan_unroll: int = 1  # lax.scan unroll factor: amortizes per-step scan
+    # machinery over several steps at the cost of a larger program
     remat: bool = False  # rematerialize scan steps in the backward pass
     # (trade FLOPs for activation memory: O(1) stored activations per step
     # instead of every cell intermediate — enables long-T / 20-level
@@ -250,7 +252,9 @@ def convlstm_apply(
 
     if config.remat:
         step = jax.checkpoint(step)
-    final_state, taps = jax.lax.scan(step, state, xs)
+    final_state, taps = jax.lax.scan(
+        step, state, xs, unroll=config.scan_unroll
+    )
     h_last = final_state[-1][0]
     if pallas2:
         h_last = h_last[:, :, o2 : o2 + w_valid, :]
