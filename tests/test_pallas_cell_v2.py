@@ -150,3 +150,41 @@ def test_full_model_with_pallas2_cell(rng, hoist):
     # and a standard-layout state must be accepted too
     got3 = convlstm_apply(params, x2, cfg, initial_state=want_state)
     np.testing.assert_allclose(np.asarray(got3), np.asarray(want2), atol=1e-5)
+
+
+def test_full_model_with_pallas2_tuple_inputs(rng):
+    """Tuple x_parts (the multitracer shared-met layout) through the
+    pallas2 path: per-part padded-column conversion + in-scan concat must
+    match the XLA path on the channel-concatenated input."""
+    from nasa_niswan_tpu.models.convlstm import (
+        ConvLSTMConfig,
+        convlstm_apply,
+        convlstm_init,
+    )
+
+    met = rng.standard_normal((1, 3, 16, 24, 4)).astype(np.float32)
+    emis = rng.standard_normal((1, 3, 16, 24, 1)).astype(np.float32)
+    full = np.concatenate([met, emis], axis=-1)
+    base = ConvLSTMConfig(5, (4, 4), (5, 3))
+    cfg = ConvLSTMConfig(5, (4, 4), (5, 3), cell_impl="pallas2")
+    params = convlstm_init(jax.random.PRNGKey(0), base)
+
+    want, want_state = convlstm_apply(
+        params, full, base, return_state=True
+    )
+    got, got_state = convlstm_apply(
+        params, (jnp.asarray(met), jnp.asarray(emis)), cfg, return_state=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # continuation across chunks with tuple inputs
+    met2 = rng.standard_normal((1, 2, 16, 24, 4)).astype(np.float32)
+    emis2 = rng.standard_normal((1, 2, 16, 24, 1)).astype(np.float32)
+    want2 = convlstm_apply(
+        params, np.concatenate([met2, emis2], -1), base,
+        initial_state=want_state,
+    )
+    got2 = convlstm_apply(
+        params, (jnp.asarray(met2), jnp.asarray(emis2)), cfg,
+        initial_state=got_state,
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
