@@ -49,6 +49,9 @@ def _preflight(timeout_s: float = 180.0) -> None:
 
 
 def main():
+    from nasa_niswan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     _preflight()
@@ -130,6 +133,9 @@ def main_train():
     pipeline is measured alongside with its input-wait share (it was 98.6%
     input-bound through the dev tunnel — the reason the resident path
     exists)."""
+    from nasa_niswan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     _preflight()

@@ -17,6 +17,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from nasa_niswan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="Evaluate a trained emulator.")
     p.add_argument("--run-dir", required=True,
                    help="snapshot dir holding configurations.json + epoch-NNN/")

@@ -183,6 +183,9 @@ def main(config: TrainConfig):
 
 
 if __name__ == "__main__":
+    from nasa_niswan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = parse_args()
     cfg.dump()
     print("Working Directory:", cfg.snapshot_dir)
