@@ -18,7 +18,9 @@ import os
 _DEFAULT_DIR = os.path.expanduser("~/.cache/nasa_niswan_tpu/xla")
 
 
-def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+def enable_compilation_cache(
+    cache_dir: str | None = None, *, min_compile_secs: float = 5.0
+) -> str | None:
     """Enable JAX's persistent compilation cache (idempotent).
 
     Returns the cache directory, or None when disabled via
@@ -43,5 +45,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     # measured LOSS through a remote-compile TPU tunnel — every lookup and
     # write is a round trip, and a small-program-heavy CLI run went 14x
     # slower with thresholds at zero.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+    )
     return cache_dir

@@ -101,3 +101,43 @@ def test_cli_end_to_end(tmp_path):
     assert (snap / "logger.log").exists()
     assert (snap / "epoch-001").is_dir()
     assert "Epoch: 1" in out.stdout
+
+
+def test_compilation_cache_roundtrip(tmp_path, monkeypatch):
+    """enable_compilation_cache persists compiled executables to disk (in a
+    subprocess twice: second process must hit the cache entry written by
+    the first) and honors the opt-out env var."""
+    import subprocess
+    import sys
+
+    from nasa_niswan_tpu.utils.cache import enable_compilation_cache
+
+    monkeypatch.setenv("NISWAN_NO_COMPILE_CACHE", "1")
+    assert enable_compilation_cache(str(tmp_path / "never")) is None
+
+    monkeypatch.delenv("NISWAN_NO_COMPILE_CACHE")
+    cache = tmp_path / "xla"
+    code = f"""
+import os, sys
+os.environ.pop("NISWAN_NO_COMPILE_CACHE", None)
+os.environ["XLA_FLAGS"] = ""
+import jax
+jax.config.update("jax_platforms", "cpu")
+from nasa_niswan_tpu.utils.cache import enable_compilation_cache
+d = enable_compilation_cache({str(cache)!r}, min_compile_secs=0.0)
+assert d == {str(cache)!r}, d
+import jax.numpy as jnp, numpy as np
+x = jnp.arange(12.0).reshape(3, 4)
+print(float(jax.jit(lambda a: jnp.tanh(a @ a.T).sum())(x)))
+"""
+    import os
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    for _ in range(2):
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=240, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+    assert len(list(cache.iterdir())) >= 1  # an executable persisted
