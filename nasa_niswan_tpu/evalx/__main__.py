@@ -33,6 +33,12 @@ def main(argv=None):
     p.add_argument("--oat", action="store_true",
                    help="run the OAT sensitivity sweep (cells 56-57) and "
                         "save oat_sensitivity.npz + boxplot")
+    p.add_argument("--export-artifact", metavar="PATH", default=None,
+                   help="also serialize the compiled rollout (params + "
+                        "normalizer baked in) as a frozen serving artifact "
+                        "(rollout/export.py; LSTM family only)")
+    p.add_argument("--artifact-chunk", type=int, default=48,
+                   help="chunk_steps the exported artifact accepts")
     args = p.parse_args(argv)
 
     from nasa_niswan_tpu.core.grid import GridSpec
@@ -132,6 +138,20 @@ def main(argv=None):
             print("oat_boxplot.png saved")
         except ImportError:
             print("matplotlib unavailable; oat_sensitivity.npz saved only")
+
+    if args.export_artifact:
+        if not bundle.is_sequence:
+            raise SystemExit("--export-artifact needs the LSTM family")
+        from nasa_niswan_tpu.rollout.export import export_rollout
+
+        blob = export_rollout(
+            bundle.config, test_ds.normalizer, params,
+            batch=1, chunk_steps=args.artifact_chunk,
+            n_channels=5 if static is not None else cfg.in_channels,
+            grid_shape=tuple(out["GTs"].shape[-2:]), padded_shape=padded,
+            static=static, path=args.export_artifact,
+        )
+        print(f"serving artifact: {args.export_artifact} ({len(blob)} bytes)")
 
     grid = GridSpec(nlat=out["GTs"].shape[-2], nlon=out["GTs"].shape[-1])
     report = evaluation_report(out["GTs"], out["PDs"], grid.lat, grid.lon)

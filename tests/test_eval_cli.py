@@ -45,15 +45,19 @@ def test_train_then_evaluate(tmp_path):
     report = json.load(open(os.path.join(snap, "evaluation.json")))
     assert "temporal_r2_summary" in report and "regional_r2" in report
 
-    # rollout mode too
+    # rollout mode too, plus the frozen serving artifact
+    artifact = str(tmp_path / "rollout.bin")
     out2 = run(
         [
             sys.executable, "-m", "nasa_niswan_tpu.evalx",
             "--run-dir", snap, "--mode", "rollout",
+            "--export-artifact", artifact, "--artifact-chunk", "3",
         ],
         env,
     )
     assert "temporal R2" in out2.stdout
+    assert "serving artifact" in out2.stdout
+    assert os.path.getsize(artifact) > 1000
 
 
 def test_eval_cli_export_hidden_and_oat(tmp_path):
