@@ -4,10 +4,14 @@ The reference trains one emulator per species (train.py --species).  For
 in-line surrogate use, ModelE needs all tracers every timestep — so the
 TPU-native serving mode runs S per-species emulators as ONE compiled
 program: parameters and normalization constants are stacked on a leading
-species axis and the whole state-carrying rollout is ``jax.vmap``-ed over
-it.  The species axis fuses into the batch dimension of every conv (larger
-MXU tiles, one launch, one carry pytree), and composes with the
-(dp, lat, lon) mesh shardings for decadal spatially-sharded runs.
+species axis, and the species axis is unrolled at TRACE time into S scans
+inside one jitted rollout (one launch, one stacked carry pytree).
+
+Deliberately NOT ``jax.vmap`` over the stacked parameters: vmapping the
+parameter pytree batches the conv *filters*, which XLA lowers as grouped
+convolutions that measured ~6x slower on TPU than S plain convs (5.1 vs
+0.9 ms/step for S=3 at canonical surface shapes).  The shared-met variant
+additionally prepares the meteorology tensor once, reused by all S scans.
 """
 
 from __future__ import annotations

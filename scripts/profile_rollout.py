@@ -74,7 +74,7 @@ def main():
     for label, hoist in (("full_hoist", True), ("full_scan", False)):
         r = make_rollout_fn(
             full_cfg, norm, padded_shape=PADDED, grid_shape=GRID,
-            precompute_input_conv=hoist,
+            precompute_input_conv=hoist, cell_impl=None,
         )
         box = {}
         def run(r=r, box=box):
@@ -129,7 +129,10 @@ def main():
         report(f"cells_notaps_hoist_L{n}", timed(run, lambda: np.asarray(box["o"][0])))
 
     if args.trace:
-        r = make_rollout_fn(full_cfg, norm, padded_shape=PADDED, grid_shape=GRID)
+        r = make_rollout_fn(
+            full_cfg, norm, padded_shape=PADDED, grid_shape=GRID,
+            cell_impl=None,
+        )
         p, _ = r(params, forcings)
         np.asarray(p[0, -1])
         with jax.profiler.trace(args.trace):

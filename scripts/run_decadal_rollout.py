@@ -153,9 +153,15 @@ def main():
             tot_terms, axis=1
         )  # (S, T)
         r2 = {sp: float(np.nanmean(r2_t[i])) for i, sp in enumerate(SPECIES)}
-        h_norm = float(
-            np.sqrt(np.mean(np.asarray(state[0][0], np.float32) ** 2))
-        )
+        # crop the carry to its valid columns so the diagnostic is layout-
+        # independent (the pallas2 cell carries zero-margin padded columns)
+        h1 = np.asarray(state[0][0], np.float32)
+        if h1.shape[-2] != 154:
+            from nasa_niswan_tpu.ops.convlstm_pallas2 import col_margin
+
+            o2 = col_margin((5, 3, 3))
+            h1 = h1[..., o2 : o2 + 154, :]
+        h_norm = float(np.sqrt(np.mean(h1**2)))
         state_norms.append(h_norm)
         yearly.append(r2)
         print(f"year {yr+1}: R2 {r2}  |h1|_rms {h_norm:.4f}", flush=True)

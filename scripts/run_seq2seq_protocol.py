@@ -29,13 +29,18 @@ def closed_loop_test_r2(cfg, params, norm, test_ds, batch_size, eval_step):
 
     n = len(test_ds)
     r2s = []
-    for s in range(0, max(n - n % batch_size, 0) or n, batch_size):
-        items = [test_ds[i] for i in range(s, min(s + batch_size, n))]
-        if len(items) < batch_size:
-            items = items + [items[-1]] * (batch_size - len(items))
+    for s in range(0, n, batch_size):
+        idx = list(range(s, min(s + batch_size, n)))
+        items = [test_ds[i] for i in idx]
+        n_real = len(items)
+        if n_real < batch_size:  # pad to keep shapes static
+            items = items + [items[-1]] * (batch_size - n_real)
         xs, p0s, ys = zip(*items)
         _, r2v = eval_step(params, np.stack(xs), np.stack(p0s), np.stack(ys))
-        r2s.append(float(r2v))
+        # every test window is evaluated (no remainder dropping); weight the
+        # batch-level score by real samples (duplicates still enter the
+        # final batch's own R2 — a small, conservative bias)
+        r2s.extend([float(r2v)] * n_real)
     return float(np.mean(r2s))
 
 
