@@ -62,12 +62,19 @@ def main():
             data, period=period, sequence_length=48, species=sp, in_channels=5
         )
         train_ds, val_ds, test_ds = mk("train"), mk("val"), mk("test")
+        # record the fixture in the config (seed + steps) so the evalx CLI
+        # reconstructs the same realization.  Exact for the FIRST species
+        # (bcb: multi-species draws match the single-species generator
+        # bit-for-bit) and the shared meteorology; later species' emission
+        # draws sit at different rng positions, so their CLI eval is an
+        # out-of-realization check rather than an exact reproduction.
         cfg = TrainConfig(
             model=f"LSTM-MT-{sp}", species=sp, in_channels=5,
             num_layers=3, hidden_channels=(64, 32, 16), kernel_size=(5, 3, 3),
             sequence_length=48, num_epochs=args.epochs, batch_size=8,
             input_size=(100, 154), compute_dtype="bfloat16",
-            checkpoint_every=args.epochs,
+            checkpoint_every=args.epochs, seed=11,
+            synthetic_steps=args.steps,
             snapshot_dir=os.path.join(args.out, f"run_{sp}"),
         )
         bundle = build_model(
