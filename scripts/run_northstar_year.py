@@ -1,0 +1,107 @@
+"""Sustain the north-star rollout for a full model year.
+
+bench.py measures 384-step chunks; this drives the SAME config — 90×144×20
+fusion (C=62), ConvLSTM 64/32/16, bf16, B=1, fused pallas2 cell — through
+17,520 half-hour steps (one model year) with one carried state, cycling a
+device-resident 30-day forcing block (uploading a year of 62-channel
+forcings would need 56 GB).  Reports sustained model-days/min over the
+whole year and the carry's RMS at each month to show the state stays
+healthy at serving scale, not just for 8-day bursts.
+
+    python scripts/run_northstar_year.py [--block 1440] [--steps 17520]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=17520)
+    ap.add_argument("--block", type=int, default=1440)
+    ap.add_argument("--chunk", type=int, default=480)
+    ap.add_argument("--out", default="/tmp/northstar_year")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    print("devices:", jax.devices(), flush=True)
+
+    from nasa_niswan_tpu.data.dataset import Normalizer
+    from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, convlstm_init
+    from nasa_niswan_tpu.ops.convlstm_pallas2 import col_margin
+    from nasa_niswan_tpu.rollout.autoregressive import (
+        make_rollout_fn,
+        model_days_per_min,
+    )
+
+    C, GRID, PADDED = 62, (90, 144), (100, 154)
+    cfg = ConvLSTMConfig(
+        in_channels=C, hidden_channels=(64, 32, 16), kernel_sizes=(5, 3, 3),
+        compute_dtype="bfloat16",
+    )
+    params = convlstm_init(jax.random.PRNGKey(0), cfg)
+    norm = Normalizer(
+        x_mean=np.zeros(C, np.float32), x_std=np.ones(C, np.float32),
+        y_mean=0.0, y_std=1.0,
+    )
+    rollout = make_rollout_fn(cfg, norm, padded_shape=PADDED, grid_shape=GRID)
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    block = jnp.asarray(
+        rng.standard_normal((1, args.block, C, *GRID)).astype(np.float32)
+    )
+    jax.block_until_ready(block)
+    print(f"resident 30-day forcing block uploaded: {time.time()-t0:.0f}s",
+          flush=True)
+
+    # warm/compile
+    p, st = rollout(params, block[:, : args.chunk])
+    np.asarray(p[0, -1])
+
+    o2 = col_margin(cfg.kernel_sizes)
+    state = None
+    monthly_h_rms = []
+    done = 0
+    t_serve = time.time()
+    while done < args.steps:
+        s = done % args.block
+        n = min(args.chunk, args.block - s, args.steps - done)
+        p, state = rollout(params, block[:, s : s + n], state)
+        done += n
+        if done % 1440 < args.chunk:  # once a month
+            h1 = np.asarray(state[0][0], np.float32)
+            if h1.shape[-2] != PADDED[1]:
+                h1 = h1[..., o2 : o2 + PADDED[1], :]
+            monthly_h_rms.append(round(float(np.sqrt((h1**2).mean())), 5))
+    np.asarray(p[0, -1])  # final sync
+    elapsed = time.time() - t_serve
+
+    value = model_days_per_min(done, elapsed)
+    result = {
+        "config": "north-star 90x144x20 rollout sustained one model year, "
+                  "B=1, bf16, carried state",
+        "steps": int(done),
+        "serving_wall_s": round(elapsed, 1),
+        "model_days_per_min": round(value, 1),
+        "monthly_h1_rms": monthly_h_rms,
+    }
+    print(json.dumps(result, indent=2), flush=True)
+    with open(os.path.join(args.out, "results_northstar_year.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
