@@ -67,19 +67,34 @@ def main():
     print(f"resident 30-day forcing block uploaded: {time.time()-t0:.0f}s",
           flush=True)
 
+    # slice the resident block INSIDE the jitted call: an eager
+    # block[:, s:s+n] is its own dispatch + a chunk-sized device copy per
+    # chunk, which through the tunnel costs more than the compute
+    @jax.jit
+    def serve(params, block, start, state):
+        chunk = jax.lax.dynamic_slice_in_dim(block, start, args.chunk, axis=1)
+        return rollout(params, chunk, state)
+
     # warm/compile
-    p, st = rollout(params, block[:, : args.chunk])
+    zero_state = [
+        (
+            jnp.zeros((1, *PADDED, hc), jnp.float32),
+            jnp.zeros((1, *PADDED, hc), jnp.float32),
+        )
+        for hc in cfg.hidden_channels
+    ]
+    p, st = serve(params, block, 0, zero_state)
     np.asarray(p[0, -1])
 
     o2 = col_margin(cfg.kernel_sizes)
-    state = None
+    state = zero_state
     monthly_h_rms = []
     done = 0
     t_serve = time.time()
     while done < args.steps:
         s = done % args.block
         n = min(args.chunk, args.block - s, args.steps - done)
-        p, state = rollout(params, block[:, s : s + n], state)
+        p, state = serve(params, block, s, state)
         done += n
         if done % 1440 < args.chunk:  # once a month
             h1 = np.asarray(state[0][0], np.float32)
