@@ -118,35 +118,22 @@ def main():
     jax.block_until_ready((emis_dev, gt_dev))
     print(f"device upload: {time.time()-t0:.0f}s", flush=True)
 
-    # ONE dispatch per chunk: slice the resident year, run the rollout,
-    # and reduce the R² terms inside a single jitted call (an eager
-    # device slice per chunk is its own dispatch + a chunk-sized copy —
-    # measured to cost more than the compute through the dev tunnel;
-    # see scripts/run_northstar_year.py)
     @jax.jit
-    def serve(stacked_params, met, emis, gt, start, state):
-        # the resident year arrives as ARGUMENTS — closing over it bakes
-        # ~8 GB of constants into the executable (duplicated HBM)
-        m = jax.lax.dynamic_slice_in_dim(met, start, args.chunk, 0)[None]
-        e = jax.lax.dynamic_slice_in_dim(emis, start, args.chunk, 1)[:, None]
-        preds, new_state = rollout(stacked_params, m, e, state)
-        y = jax.lax.dynamic_slice_in_dim(gt, start, args.chunk, 1).astype(
-            jnp.float32
-        )
-        p = preds[:, 0]
-        ss_res = jnp.sum((y - p) ** 2, axis=(-2, -1))
+    def chunk_r2_terms(preds, gt_chunk):
+        """Per-step residual and total sums over the grid, on device.
+
+        preds (S, t, h, w) f32; gt_chunk (S, t, h, w) bf16 ->
+        (S, t) ss_res and ss_tot (vs the per-step spatial mean, matching
+        evalx.metrics.r2_temporal).
+        """
+        y = gt_chunk.astype(jnp.float32)
+        ss_res = jnp.sum((y - preds) ** 2, axis=(-2, -1))
         ybar = jnp.mean(y, axis=(-2, -1), keepdims=True)
         ss_tot = jnp.sum((y - ybar) ** 2, axis=(-2, -1))
-        return ss_res, ss_tot, new_state
+        return ss_res, ss_tot
 
     T = args.year_steps
-    state = [
-        (
-            jnp.zeros((len(SPECIES), 1, 100, 154, hc), jnp.float32),
-            jnp.zeros((len(SPECIES), 1, 100, 154, hc), jnp.float32),
-        )
-        for hc in cfg.hidden_channels
-    ]
+    state = None
     yearly = []
     state_norms = []
     total_steps = 0
@@ -154,13 +141,14 @@ def main():
     for yr in range(args.years):
         res_terms, tot_terms = [], []
         for s in range(0, T, args.chunk):
-            ss_res, ss_tot, state = serve(
-                stacked, met_dev, emis_dev, gt_dev, s, state
-            )
+            m = met_dev[s : s + args.chunk][None]
+            e = emis_dev[:, None, s : s + args.chunk]
+            p, state = rollout(stacked, m, e, state)
+            ss_res, ss_tot = chunk_r2_terms(p[:, 0], gt_dev[:, s : s + args.chunk])
             # download only (S, t) scalars per chunk
             res_terms.append(np.asarray(ss_res))
             tot_terms.append(np.asarray(ss_tot))
-            total_steps += args.chunk
+            total_steps += m.shape[1]
         r2_t = 1.0 - np.concatenate(res_terms, axis=1) / np.concatenate(
             tot_terms, axis=1
         )  # (S, T)
