@@ -132,6 +132,11 @@ def main():
         ss_tot = jnp.sum((y - ybar) ** 2, axis=(-2, -1))
         return ss_res, ss_tot
 
+    # Measured note: folding the per-chunk slices + rollout + R² terms
+    # into ONE jitted dispatch (the scripts/run_northstar_year.py trick)
+    # was tried and REVERTED here — at 3 species x 1752-step chunks the
+    # merged program's compile ballooned past the dispatch savings
+    # (1,289 s total vs 811 s for this simpler loop).
     T = args.year_steps
     state = None
     yearly = []
