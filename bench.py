@@ -238,9 +238,16 @@ def main_train():
 
 
 if __name__ == "__main__":
+    import os
     import sys
 
     if "--train" in sys.argv[1:]:
         main_train()
     else:
         main()
+    # the metric line is printed; skip interpreter teardown, which
+    # intermittently aborts ("FATAL: exception not rethrown") while the
+    # axon tunnel client's threads wind down
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
