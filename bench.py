@@ -25,9 +25,17 @@ import time
 import numpy as np
 
 
-def _preflight(timeout_s: float = 180.0) -> None:
+def _preflight(timeout_s: float = 120.0, attempts: int = 5) -> None:
     """Fail fast (instead of hanging the harness) if the TPU worker is
-    unreachable — a tiny computation must materialize within the timeout."""
+    unreachable — a tiny computation must materialize within the timeout.
+
+    Outage-proof: retries with backoff (transient tunnel drops recover
+    within a couple of minutes), and on final failure exits via os._exit
+    so interpreter teardown — which the axon tunnel client intermittently
+    aborts with "FATAL: exception not rethrown" — never runs.  A teardown
+    abort turns a clean rc=1 into rc=134 and loses the diagnostic
+    (this exact failure ate the round-2 driver bench)."""
+    import sys
     import threading
 
     ok = threading.Event()
@@ -38,14 +46,26 @@ def _preflight(timeout_s: float = 180.0) -> None:
         np.asarray(jnp.ones(1) + 1)
         ok.set()
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not ok.is_set():
-        import sys
+    for attempt in range(1, attempts + 1):
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if ok.is_set():
+            return
+        print(
+            f"bench preflight: device did not respond within {timeout_s:.0f}s "
+            f"(attempt {attempt}/{attempts})",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+        if attempt < attempts:
+            time.sleep(min(30.0 * attempt, 90.0))
+    import os
 
-        print("bench preflight failed: device did not respond", file=sys.stderr)
-        raise SystemExit(1)
+    print("bench preflight failed: device unreachable; giving up", file=sys.stderr)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(1)  # never raise: teardown must not run on the dead tunnel
 
 
 def main():
@@ -241,13 +261,23 @@ if __name__ == "__main__":
     import os
     import sys
 
-    if "--train" in sys.argv[1:]:
-        main_train()
-    else:
-        main()
-    # the metric line is printed; skip interpreter teardown, which
-    # intermittently aborts ("FATAL: exception not rethrown") while the
-    # axon tunnel client's threads wind down
+    try:
+        if "--train" in sys.argv[1:]:
+            main_train()
+        else:
+            main()
+    except BaseException:
+        # print the diagnostic ourselves, then exit without teardown —
+        # an exception propagating into interpreter shutdown intermittently
+        # aborts ("FATAL: exception not rethrown") in the axon tunnel
+        # client, converting a clean failure into rc=134 with no output
+        import traceback
+
+        traceback.print_exc()
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(1)
+    # the metric line is printed; skip interpreter teardown (same abort)
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(0)

@@ -330,6 +330,18 @@ class Seq2SeqDataset:
         prev0 = self._y[s - 1]
         return x, prev0, y
 
+    def continuous_stream(self):
+        """The whole split as ONE contiguous closed-loop episode:
+        ``(frames, prev0, targets)`` with frames (T, C-1, H, W) raw
+        forcings, prev0 the (H, W) raw concentration one step before the
+        split, targets (T, H, W).  This is the deployment-condition input
+        for the closed-loop evaluator (test.ipynb cell 8's feedback loop,
+        run over the full period instead of per-chunk)."""
+        s0 = int(self._starts[0])
+        s_end = int(self._starts[-1]) + self.seq_len
+        frames = np.ascontiguousarray(self._xs[s0:s_end])
+        return frames, self._y[s0 - 1], self._y[s0:s_end]
+
 
 def make_preprocess_fn(
     normalizer: Normalizer,

@@ -61,12 +61,31 @@ def main(argv=None):
         compute_dtype=cfg.compute_dtype, cell_impl=cfg.cell_impl,
     )
     data = load_data(cfg)
-    if bundle.is_sequence:
-        from nasa_niswan_tpu.data.dataset import SequenceDataset
+    # Mirror train/__main__.build_datasets exactly — the eval CLI must
+    # round-trip every configurations.json the trainer writes (test.ipynb
+    # cell 3's contract), including config #2 (--levels 20 fusion) and
+    # config #3 (--mode seq2seq feedback snapshots).
+    n_forcing = 5
+    if cfg.levels > 1:
+        from nasa_niswan_tpu.data.fusion import fuse_levels, fusion_channel_count
 
-        test_ds = SequenceDataset(
+        data = fuse_levels(data, cfg.species, levels=cfg.levels)
+        n_forcing = fusion_channel_count(cfg.levels)
+    closed_loop = cfg.mode == "seq2seq" and bundle.is_sequence
+    if closed_loop:
+        from nasa_niswan_tpu.data.dataset import Seq2SeqDataset
+
+        test_ds = Seq2SeqDataset(
             data, period="test", species=cfg.species,
             sequence_length=cfg.sequence_length,
+        )
+    elif bundle.is_sequence:
+        from nasa_niswan_tpu.data.dataset import SequenceDataset
+
+        kw = {} if cfg.levels > 1 else {"in_channels": cfg.in_channels}
+        test_ds = SequenceDataset(
+            data, period="test", species=cfg.species,
+            sequence_length=cfg.sequence_length, **kw,
         )
     else:
         from nasa_niswan_tpu.data.dataset import SingleStepDataset
@@ -87,10 +106,26 @@ def main(argv=None):
     params, _, meta = load_checkpoint(ckpt_dir, tmpl_params)
     print("Number of Epochs:", meta.get("epoch"))
 
-    n_static = cfg.in_channels - 5
-    static = data["static"][:n_static] if n_static > 0 and "static" in data else None
+    # Static-attribute channels ride above the forcing stack (and the
+    # feedback channel in seq2seq mode, train/config.py:71-72).
+    n_static = cfg.in_channels - n_forcing - (1 if closed_loop else 0)
+    static = (
+        data["static"][:n_static]
+        if n_static > 0 and isinstance(data, dict) and "static" in data
+        else None
+    )
     padded = tuple(cfg.input_size)
-    if args.mode == "rollout" and bundle.is_sequence:
+    if closed_loop:
+        # a seq2seq snapshot's feedback channel must carry the model's own
+        # prediction — windowed/rollout modes would silently feed zeros or
+        # treat it as a static channel (the round-2 mis-evaluation)
+        from nasa_niswan_tpu.evalx.evaluate import predict_test_closed_loop
+
+        print("seq2seq snapshot: running closed-loop feedback evaluation")
+        out = predict_test_closed_loop(
+            bundle.config, params, test_ds, padded_shape=padded
+        )
+    elif args.mode == "rollout" and bundle.is_sequence:
         out = predict_test_rollout(
             bundle.config, params, test_ds, padded_shape=padded, static=static
         )
@@ -100,6 +135,11 @@ def main(argv=None):
             batch_size=args.batch_size, static=static,
         )
 
+    if closed_loop and (args.export_hidden or args.oat or args.export_artifact):
+        raise SystemExit(
+            "--export-hidden/--oat/--export-artifact drive the open-loop "
+            "windowed/rollout paths; not available for seq2seq snapshots"
+        )
     if args.export_hidden:
         if not bundle.is_sequence:
             raise SystemExit("--export-hidden needs the LSTM family")

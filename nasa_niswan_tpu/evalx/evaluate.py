@@ -105,6 +105,80 @@ def predict_test_rollout(
     return {"GTs": targets, "PDs": preds}
 
 
+def predict_test_closed_loop(
+    config, params, dataset, *, padded_shape, chunk_steps: int = 480
+) -> Dict[str, np.ndarray]:
+    """Closed-loop feedback evaluation over a ``Seq2SeqDataset``'s full
+    split — the deployment condition of a ``--mode seq2seq`` snapshot
+    (test.ipynb cell 8's ``X[:, -1] = pred`` loop, run continuously).
+
+    Each step's feedback channel is the model's OWN previous prediction
+    (ground truth only seeds step 0 via the dataset's ``prev0``); the
+    ConvLSTM (h, c) state and the feedback frame are carried across jitted
+    fixed-size chunks, so the whole test period is one continuous episode
+    with no state resets at chunk boundaries.  Returns physical-unit
+    GTs/PDs shaped (T, h, w).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
+    from nasa_niswan_tpu.models.convlstm import convlstm_apply
+
+    frames, prev0, targets = dataset.continuous_stream()
+    norm = dataset.normalizer
+    grid_shape = tuple(targets.shape[-2:])
+    H, W = padded_shape
+    T = frames.shape[0]
+    chunk_steps = min(chunk_steps, T)
+
+    x_mean = jnp.asarray(norm.x_mean).reshape(-1, 1, 1)
+    x_std = jnp.asarray(norm.x_std).reshape(-1, 1, 1)
+
+    @jax.jit
+    def run_chunk(params, state, prev_norm, x_chunk):
+        # x_chunk: raw (Tc, C-1, h, w); prev_norm: (1, h, w) normalized
+        xn = (x_chunk - x_mean) / x_std
+        xs = jnp.moveaxis(pad_geo(xn, padded_shape), 1, -1)  # (Tc, H, W, C-1)
+
+        def step(carry, x_t):
+            state, prev = carry
+            fb = pad_geo(prev, padded_shape)  # (1, H, W)
+            frame = jnp.concatenate(
+                [x_t[None], fb[..., None]], axis=-1
+            )[:, None]  # (1, 1, H, W, C)
+            pred_pad, new_state = convlstm_apply(
+                params, frame, config, initial_state=state, return_state=True
+            )
+            pred = crop_to_grid(pred_pad[..., 0], grid_shape)  # (1, h, w)
+            return (new_state, pred), norm.unnormalize_y(pred[0])
+
+        (state, prev_norm), preds = jax.lax.scan(
+            step, (state, prev_norm), xs
+        )
+        return state, prev_norm, preds
+
+    state = [
+        (
+            np.zeros((1, H, W, hc), np.float32),
+            np.zeros((1, H, W, hc), np.float32),
+        )
+        for hc in config.hidden_channels
+    ]
+    prev_norm = np.asarray(norm.normalize_y(prev0), np.float32)[None]
+    preds = []
+    for s in range(0, T, chunk_steps):
+        x_chunk = frames[s : s + chunk_steps]
+        n_valid = len(x_chunk)
+        if n_valid < chunk_steps:  # pad tail to keep the trace static
+            x_chunk = np.concatenate(
+                [x_chunk, np.repeat(x_chunk[-1:], chunk_steps - n_valid, 0)]
+            )
+        state, prev_norm, p = run_chunk(params, state, prev_norm, x_chunk)
+        preds.append(np.asarray(p)[:n_valid])
+    return {"GTs": targets, "PDs": np.concatenate(preds)}
+
+
 def predict_test_hidden(
     config,
     params,

