@@ -268,6 +268,16 @@ def convlstm_apply(
     if return_per_step:
         out.append(jnp.moveaxis(taps, 0, 1))  # (B, T, H, W, out)
     if return_state:
+        if pallas2:
+            # Return the carry in the STANDARD (w_valid) layout regardless
+            # of cell_impl, so a saved carry resumes under any impl and
+            # diagnostic consumers never see the kernel-internal padded
+            # width.  The margins are hard zeros (kernel invariant), so the
+            # crop + re-pad on the next chunk is bit-exact.
+            final_state = [
+                (h[:, :, o2 : o2 + w_valid, :], c[:, :, o2 : o2 + w_valid, :])
+                for h, c in final_state
+            ]
         out.append(final_state)
     return out[0] if len(out) == 1 else tuple(out)
 

@@ -61,8 +61,11 @@ def col_margin(kernel_sizes) -> int:
 
 def padded_cols(w: int, o: int) -> int:
     """Total column count: valid data [o, o+w), right margin >= o, and a
-    multiple of 8 so (rows, wp, C) flattens without relayout."""
-    return _round_up(w + 2 * o, 8)
+    multiple of 16 so (rows, wp, C) flattens without relayout for BOTH
+    compute dtypes (sublane tile: 8 for f32, 16 for bf16 — the kernel runs
+    bf16 operands, so alignment must follow the larger tile; canonical
+    154 -> 160 is unchanged)."""
+    return _round_up(w + 2 * o, 16)
 
 
 def pad_cols(x: jnp.ndarray, o: int, wp: int) -> jnp.ndarray:

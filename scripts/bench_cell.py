@@ -36,6 +36,12 @@ def main():
                  "pallas:scan"],
         help="impl:mode pairs; mode hoist = precompute_input_conv",
     )
+    ap.add_argument(
+        "--parity", action="store_true",
+        help="before timing, assert the COMPILED pallas2 path matches the "
+             "XLA cell on this backend at bf16 tolerance (the guard behind "
+             "cell_impl='auto' swapping kernels in serving)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -60,6 +66,41 @@ def main():
             np.float32
         )
     )
+
+    if args.parity:
+        # Compiled-path parity: the interpreter-mode tests validate the
+        # kernel's math at f32; this asserts the REAL compiled TPU kernel
+        # against the XLA cell at bf16 tolerance on short rollouts, so the
+        # serving auto-swap (rollout/autoregressive.resolve_cell_impl) is
+        # guarded on actual hardware.
+        T_par = min(48, args.steps)
+        outs = {}
+        for impl in ("xla", "pallas2"):
+            cfg = ConvLSTMConfig(
+                in_channels=C, hidden_channels=(64, 32, 16),
+                kernel_sizes=(5, 3, 3), compute_dtype="bfloat16",
+                cell_impl=impl,
+            )
+            params = convlstm_init(jax.random.PRNGKey(0), cfg)
+            rollout = make_rollout_fn(
+                cfg, norm, padded_shape=PADDED, grid_shape=GRID,
+                precompute_input_conv=False, cell_impl=None,
+            )
+            preds, state = rollout(params, forcings[:, :T_par])
+            outs[impl] = (np.asarray(preds), np.asarray(state[0][0]))
+        d_pred = np.abs(outs["xla"][0] - outs["pallas2"][0])
+        d_h = np.abs(outs["xla"][1] - outs["pallas2"][1])
+        scale = max(np.abs(outs["xla"][0]).max(), 1e-6)
+        rel = d_pred.max() / scale
+        print(json.dumps({
+            "parity": "pallas2-vs-xla compiled bf16",
+            "steps": T_par,
+            "max_abs_pred": float(d_pred.max()),
+            "max_rel_pred": float(rel),
+            "max_abs_h": float(d_h.max()),
+        }), flush=True)
+        # bf16 has ~3 decimal digits; 48 recurrent steps compound to ~2%
+        assert rel < 0.05, f"compiled pallas2 diverges from XLA: rel={rel}"
 
     base_params = None
     for spec in args.impls:

@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=480)
     ap.add_argument("--out", default="/tmp/northstar_year")
     args = ap.parse_args()
+    # serve() always advances a full --chunk (the jitted dynamic_slice
+    # clamps its start index); a ragged tail would re-process overlapping
+    # frames with the carried state and skew the step accounting
+    if args.block % args.chunk or args.steps % args.chunk:
+        ap.error("--block and --steps must be multiples of --chunk")
     os.makedirs(args.out, exist_ok=True)
 
     import jax
