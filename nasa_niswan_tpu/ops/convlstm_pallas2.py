@@ -224,15 +224,19 @@ def fused_cell_forward_v2(
         _cell_kernel_v2, k=k, th=th, wp=wp, hidden=hidden, o=o,
         w_valid=w_valid, has_xg=xg is not None,
     )
+    # Inside shard_map (the explicit-halo sharded serving path) the outputs
+    # vary over the same mesh axes as the local-tile inputs; propagate the
+    # operands' vma so shard_map's varying-axes typing accepts the call.
+    vma = frozenset(getattr(jax.typeof(xh), "vma", ()) or ()) | frozenset(
+        getattr(jax.typeof(c), "vma", ()) or ()
+    )
+    out_sds = jax.ShapeDtypeStruct((B, H, wp, hidden), jnp.float32, vma=vma)
     return pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
         in_specs=in_specs,
         out_specs=[state_block, state_block],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, wp, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, wp, hidden), jnp.float32),
-        ],
+        out_shape=[out_sds, out_sds],
         interpret=interpret,
     )(*args)
 

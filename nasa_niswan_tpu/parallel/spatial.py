@@ -78,6 +78,59 @@ def _vary(z):
     return jax.lax.pcast(z, ("dp", "lat", "lon"), to="varying")
 
 
+def _pallas2_cell_sharded(cell, inp, hprev, cprev, k: int, dt):
+    """One fused-kernel cell step on a shard-LOCAL tile: the pallas2 kernel
+    is opaque to GSPMD, but inside shard_map it only ever sees local data —
+    so the conv halos become an explicit pre-exchange, and the kernel's
+    zero-margin columns become HALO columns (verdict r2 item #3).
+
+    Layout: exchange k//2 rows+cols of halo (ring ppermutes, zeros at the
+    domain edge — exact SAME-pad semantics), lay the extended (h+2p, w+2p)
+    tile into the padded-column layout at columns [p, p+w+2p), and run the
+    kernel with w_valid = w+2p.  Valid outputs read inputs only from
+    [o-p, o+w_valid+p) — all genuine tile/halo data — and the roll
+    wraparound still lands in masked margin outputs, so the kernel is
+    unchanged.  Crop the p halo ring off h'/c' afterward; the carry stays
+    shard-local in the standard tile layout.
+    """
+    from nasa_niswan_tpu.ops.convlstm_pallas2 import (
+        cell_step_pallas2,
+        padded_cols,
+    )
+    from nasa_niswan_tpu.parallel.halo import halo_exchange_zero
+
+    p = k // 2
+    B, hl, wl = inp.shape[:3]
+    if p == 0:
+        # 1x1 conv: purely local, no halo, standard margin layout
+        wp = padded_cols(wl, 0)
+        x_l = jnp.pad(inp, ((0, 0), (0, 0), (0, wp - wl), (0, 0)))
+        h_l = jnp.pad(hprev, ((0, 0), (0, 0), (0, wp - wl), (0, 0)))
+        c_l = jnp.pad(cprev, ((0, 0), (0, 0), (0, wp - wl), (0, 0)))
+        h2, c2 = cell_step_pallas2(cell, x_l, h_l, c_l, k, dt, 0, wl)
+        return h2[:, :, :wl, :], c2[:, :, :wl, :]
+
+    o = p
+    w_ext = wl + 2 * p
+    wp = padded_cols(w_ext, o)  # right margin >= p by construction
+
+    def lay(t):  # (B, hl+2p, wl+2p, C) -> margin layout
+        return jnp.pad(t, ((0, 0), (0, 0), (o, wp - o - w_ext), (0, 0)))
+
+    x_l = lay(halo_exchange_zero(inp, p))
+    h_l = lay(halo_exchange_zero(hprev, p))
+    # c is elementwise: only the kept output positions matter; align its
+    # valid block with the tile's true columns, zeros elsewhere
+    c_l = jnp.pad(
+        cprev, ((0, 0), (p, p), (o + p, wp - o - p - wl), (0, 0))
+    )
+    h2, c2 = cell_step_pallas2(cell, x_l, h_l, c_l, k, dt, o, w_ext)
+    return (
+        h2[:, p : p + hl, o + p : o + p + wl, :],
+        c2[:, p : p + hl, o + p : o + p + wl, :],
+    )
+
+
 def _local_convlstm_forward(
     params,
     x_local,
@@ -92,9 +145,16 @@ def _local_convlstm_forward(
     across the whole scan (zero inter-step state movement — the CP analog
     for a recurrent spatial model).
 
+    ``config.cell_impl == 'pallas2'`` routes each cell through the fused
+    TPU kernel on the local tile (halos pre-exchanged, margins repurposed
+    as halo columns — see _pallas2_cell_sharded); any other impl uses the
+    XLA sharded convs.  Both are bit-compatible with the single-device
+    model.
+
     Returns (pred_last (B,h,w,1), taps (T,B,h,w,1) or None, final state).
     """
     dt = jnp.dtype(compute_dtype or config.compute_dtype)
+    fused = config.cell_impl == "pallas2"
     state = [tuple(s) for s in state]
     xs = jnp.moveaxis(x_local, 1, 0)
 
@@ -105,12 +165,21 @@ def _local_convlstm_forward(
             k = config.kernel_sizes[li]
             cell = params["cells"][li]
             hprev, cprev = carry[li]
-            gates = (
-                sharded_conv2d(inp.astype(dt), cell["w_x"].astype(dt), pad=k // 2)
-                + sharded_conv2d(hprev.astype(dt), cell["w_h"].astype(dt), pad=k // 2)
-                + cell["b"]
-            )
-            hnew, cnew = gate_update(gates, cprev)
+            if fused:
+                hnew, cnew = _pallas2_cell_sharded(
+                    cell, inp, hprev, cprev, k, dt
+                )
+            else:
+                gates = (
+                    sharded_conv2d(
+                        inp.astype(dt), cell["w_x"].astype(dt), pad=k // 2
+                    )
+                    + sharded_conv2d(
+                        hprev.astype(dt), cell["w_h"].astype(dt), pad=k // 2
+                    )
+                    + cell["b"]
+                )
+                hnew, cnew = gate_update(gates, cprev)
             new_carry.append((hnew, cnew))
             inp = hnew
         tap = None
@@ -179,10 +248,16 @@ def make_sharded_rollout_fn(
     grid_shape: Tuple[int, int] = (90, 144),
     static: Optional[np.ndarray] = None,
     unnormalize: bool = True,
+    cell_impl: Optional[str] = None,
 ):
     """State-carrying autoregressive rollout on the explicit-halo shard_map
     path — the hand-tuned serving kernel for BASELINE config #5 (decadal
     multi-tracer rollout with the grid sharded over the mesh).
+
+    ``cell_impl`` overrides ``config.cell_impl`` for the sharded scan;
+    "pallas2" runs the fused TPU kernel on each local tile with explicit
+    halo exchange (bit-compatible with the XLA sharded path — verified in
+    tests/test_parallel.py).
 
     Same contract as rollout/autoregressive.make_rollout_fn:
     ``rollout(params, forcings, initial_state=None) -> (preds, state)`` with
@@ -195,6 +270,10 @@ def make_sharded_rollout_fn(
     from nasa_niswan_tpu.data.dataset import zscore_static
     from nasa_niswan_tpu.rollout.autoregressive import _prep_frame
 
+    if cell_impl is not None and cell_impl != config.cell_impl:
+        import dataclasses
+
+        config = dataclasses.replace(config, cell_impl=cell_impl)
     static_z = None if static is None else zscore_static(static)
     H, W = padded_shape
     state_sharding = jax.tree.map(
@@ -214,6 +293,11 @@ def make_sharded_rollout_fn(
             P(None, "dp", "lat", "lon", None),
             _state_specs(config),
         ),
+        # interpret-mode pallas_call doesn't thread varying-manual-axes
+        # through its internal dynamic_slices; disable the vma typecheck
+        # for the fused-kernel path (JAX's documented workaround) — the
+        # XLA path keeps full checking
+        check_vma=config.cell_impl != "pallas2",
     )
 
     @jax.jit
