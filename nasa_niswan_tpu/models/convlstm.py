@@ -46,7 +46,9 @@ class ConvLSTMConfig:
     kernel_sizes: Tuple[int, ...] = (5, 3, 3)
     out_channels: int = 1
     compute_dtype: str = "float32"  # "bfloat16" for MXU-native training/serving
-    cell_impl: str = "xla"  # "xla" | "pallas" | "pallas2" (fused TPU kernel)
+    cell_impl: str = "xla"  # "xla" | "pallas" | "pallas2" (fused TPU
+    # kernel) | "auto" (trace-time resolution: pallas2 at B<=4 on TPU —
+    # where it measures 1.4x faster for serving AND training — else xla)
     scan_unroll: int = 1  # lax.scan unroll factor: amortizes per-step scan
     # machinery over several steps at the cost of a larger program
     remat: bool = False  # rematerialize scan steps in the backward pass
@@ -164,7 +166,18 @@ def convlstm_apply(
     B, T, H, W = x_parts[0].shape[:4]
     n_layers = config.num_layers
 
-    pallas2 = config.cell_impl == "pallas2"
+    cell_impl = config.cell_impl
+    if cell_impl == "auto":
+        # measured policy (docs/PERFORMANCE.md): the fused kernel wins at
+        # small batch (B<=4: 1.4x for both serving and the BPTT training
+        # step), XLA's batched conv wins above — resolved at trace time
+        cell_impl = (
+            "pallas2"
+            if B <= 4 and jax.default_backend() == "tpu"
+            else "xla"
+        )
+
+    pallas2 = cell_impl == "pallas2"
     w_valid = W
     if pallas2:
         # second-gen fused kernel: everything lives in the padded-column
@@ -179,13 +192,18 @@ def convlstm_apply(
 
         o2 = col_margin(config.kernel_sizes)
         wp = padded_cols(W, o2)
-        x_parts = tuple(pad_cols(p_, o2, wp) for p_ in x_parts)
+        # cast BEFORE building the padded-column copy: the cell consumes
+        # the compute dtype anyway, and at training shapes the bf16 copy
+        # (vs f32) is the difference between fitting B=8 in HBM or not
+        x_parts = tuple(
+            pad_cols(p_.astype(compute_dtype), o2, wp) for p_ in x_parts
+        )
         W = wp
 
         cell_step = lambda cell, xt, h, c, k, dt, pre=False: cell_step_pallas2(
             cell, xt, h, c, k, dt, o2, w_valid, x_already_conved=pre
         )
-    elif config.cell_impl == "pallas":
+    elif cell_impl == "pallas":
         from nasa_niswan_tpu.ops.convlstm_pallas import cell_step_pallas
 
         cell_step = lambda cell, xt, h, c, k, dt, pre=False: cell_step_pallas(
@@ -219,6 +237,38 @@ def convlstm_apply(
         wx0 = params["cells"][0]["w_x"].astype(compute_dtype)
         flat = xs[0].reshape(T * B, H, W, xs[0].shape[-1]).astype(compute_dtype)
         xs = (conv2d(flat, wx0, padding=k0 // 2).reshape(T, B, H, W, -1),)
+
+    if (
+        pallas2
+        and config.remat
+        and not return_per_step
+        and tap_fn is None
+        and not precompute_input_conv
+    ):
+        # Training path: ``jax.checkpoint`` cannot rematerialize through the
+        # cell's custom VJP, so the per-cell residuals would stack across
+        # the scan (~+3.5 GiB at canonical B=4; OOM at B=8).  The
+        # whole-scan BPTT keeps only (params, xs, state0) as residuals and
+        # replays the fused forward in its backward — XLA-remat memory at
+        # pallas2 speed (ops/convlstm_bptt.py).
+        from nasa_niswan_tpu.ops.convlstm_bptt import scan_cells_pallas2
+
+        xs_cat = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+        final_state = scan_cells_pallas2(
+            params,
+            xs_cat,
+            [tuple(s) for s in state],
+            tuple(config.kernel_sizes),
+            o2,
+            w_valid,
+            config.compute_dtype,
+            config.scan_unroll,
+        )
+        return _finish(
+            final_state, None, params, config, compute_dtype,
+            pallas2, o2 if pallas2 else 0, w_valid,
+            return_per_step, return_state,
+        )
 
     def step(carry, x_t):
         new_carry = []
@@ -255,6 +305,19 @@ def convlstm_apply(
     final_state, taps = jax.lax.scan(
         step, state, xs, unroll=config.scan_unroll
     )
+    return _finish(
+        final_state, taps, params, config, compute_dtype,
+        pallas2, o2 if pallas2 else 0, w_valid,
+        return_per_step, return_state,
+    )
+
+
+def _finish(
+    final_state, taps, params, config, compute_dtype,
+    pallas2, o2, w_valid, return_per_step, return_state,
+):
+    """Shared epilogue of ``convlstm_apply``: head conv on the final h,
+    tap reordering, and standard-layout state crop."""
     h_last = final_state[-1][0]
     if pallas2:
         h_last = h_last[:, :, o2 : o2 + w_valid, :]

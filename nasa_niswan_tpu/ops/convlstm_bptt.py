@@ -1,0 +1,165 @@
+"""Hand-written BPTT for the fused pallas2 ConvLSTM scan.
+
+Why this exists: the per-cell custom VJP (ops/convlstm_pallas2.py) is
+opaque to ``jax.checkpoint`` — remat cannot recompute through a custom_vjp,
+so its residuals (xh, c, gates per cell per step) get stacked across the
+whole ``lax.scan``, ~2x the XLA path's training footprint (measured +3.5
+GiB at B=4 canonical shapes; OOM at the canonical B=8).  Here the custom
+VJP wraps the ENTIRE multi-layer scan instead:
+
+  * primal: the plain forward scan through ``fused_cell_forward_v2`` —
+    nothing stored (serving stays O(1) in T);
+  * fwd (under differentiation): the same scan additionally stacks each
+    step's INPUT carry as scan ys — residuals are (params, xs, state0,
+    carry_stack), exactly the storage XLA's scan autodiff keeps for the
+    rematerialized step;
+  * bwd: one reverse scan; per step it re-runs the fused kernel with
+    ``emit_gates`` to rebuild each layer's pre-activation gates
+    (transient), applies the hand-written elementwise backward
+    (convlstm_pallas2._elementwise_bwd), and routes the conv halves
+    through XLA's optimized conv grads.
+
+Net: pallas2 forward speed in BOTH directions, XLA-remat memory.
+Measured at canonical training shapes (B=8, T=48, 100x154->160, bf16,
+hidden 64/32/16): the per-cell-VJP path OOMs; this path fits and beats
+the XLA cell (see docs/STATUS.md r3).  Gradient parity vs XLA autodiff
+is golden-tested in tests/test_pallas_cell_v2.py.
+
+Backward math per cell (reference model.py:221-229 via train.py:108-110):
+the gate cotangents come from _elementwise_bwd; the conv cotangents are
+d[xh] = conv_transpose(dgates, W) and dW = xcorr(xh, dgates), obtained by
+jax.vjp of the linear conv (no nonlinearity recompute).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nasa_niswan_tpu.ops.conv import conv2d
+from nasa_niswan_tpu.ops.convlstm_pallas2 import (
+    _elementwise_bwd,
+    fused_cell_forward_v2,
+)
+
+
+def _cells_step(params, x_t, state, ks, o, w_valid, dt, emit: bool):
+    """One timestep through all layers (padded-column layout).
+
+    Returns (new_state, recs) where recs[l] = (layer input, gates) when
+    ``emit`` (the transient quantities the backward needs), else [].
+    """
+    inp = x_t
+    new_state, recs = [], []
+    for li, k in enumerate(ks):
+        cell = params["cells"][li]
+        h, c = state[li]
+        xh = jnp.concatenate([inp.astype(dt), h.astype(dt)], axis=-1)
+        w = jnp.concatenate([cell["w_x"], cell["w_h"]], axis=2).astype(dt)
+        out = fused_cell_forward_v2(
+            xh, c, w, cell["b"].astype(jnp.float32), k, o, w_valid,
+            emit_gates=emit,
+        )
+        if emit:
+            recs.append((inp, out[2]))
+        new_state.append((out[0], out[1]))
+        inp = out[0]
+    return new_state, recs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def scan_cells_pallas2(params, xs, state0, ks, o, w_valid, dtype_str, unroll):
+    """Forward scan over time through the fused cells; returns the final
+    per-layer (h, c) carry (f32, padded-column layout).
+
+    xs: (T, B, H, wp, C) compute-dtype frames in the margin layout;
+    state0: per-layer [(h, c)] f32.  ks/o/w_valid/dtype_str/unroll are
+    static (hashable).
+    """
+    dt = jnp.dtype(dtype_str)
+
+    def step(carry, x_t):
+        new, _ = _cells_step(params, x_t, carry, ks, o, w_valid, dt, False)
+        return new, None
+
+    final, _ = jax.lax.scan(step, state0, xs, unroll=unroll)
+    return final
+
+
+def _scan_fwd(params, xs, state0, ks, o, w_valid, dtype_str, unroll):
+    dt = jnp.dtype(dtype_str)
+
+    # stack each step's INPUT carry (f32) as we go — the same storage
+    # XLA's scan autodiff keeps for a rematerialized step body, and it
+    # saves the backward a full forward replay
+    def rec(carry, x_t):
+        new, _ = _cells_step(params, x_t, carry, ks, o, w_valid, dt, False)
+        return new, carry
+
+    final, state_stack = jax.lax.scan(rec, state0, xs, unroll=unroll)
+    return final, (params, xs, state0, state_stack)
+
+
+def _scan_bwd(ks, o, w_valid, dtype_str, unroll, res, d_final):
+    params, xs, state0, state_stack = res
+    dt = jnp.dtype(dtype_str)
+    L = len(ks)
+
+    zero_pgrads = jax.tree.map(jnp.zeros_like, params)
+    d_final = jax.tree.map(
+        lambda t: t.astype(jnp.float32), [tuple(s) for s in d_final]
+    )
+
+    def back(carry, inp):
+        d_state, d_params = carry
+        x_t, state_in = inp
+        # rebuild this step's transient quantities with the fused kernel
+        _, recs = _cells_step(params, x_t, state_in, ks, o, w_valid, dt, True)
+        d_state = [list(s) for s in d_state]
+        new_d = [None] * L
+        dxs_t = None
+        cells_g = list(d_params["cells"])
+        for li in reversed(range(L)):
+            inp_l, gates_l = recs[li]
+            h_in, c_in = state_in[li]
+            dh, dc = d_state[li]
+            dgates32, dc_prev = _elementwise_bwd(
+                gates_l, c_in, dh, dc, o, w_valid
+            )
+            dgates = dgates32.astype(dt)
+            xh = jnp.concatenate([inp_l.astype(dt), h_in.astype(dt)], -1)
+            cell = params["cells"][li]
+            w = jnp.concatenate([cell["w_x"], cell["w_h"]], axis=2).astype(dt)
+            k = ks[li]
+            _, lin_vjp = jax.vjp(
+                lambda xh_, w_: conv2d(xh_, w_, padding=k // 2), xh, w
+            )
+            dxh, dw = lin_vjp(dgates)
+            cin = inp_l.shape[-1]
+            g = cells_g[li]
+            cells_g[li] = {
+                "w_x": g["w_x"] + dw[:, :, :cin].astype(g["w_x"].dtype),
+                "w_h": g["w_h"] + dw[:, :, cin:].astype(g["w_h"].dtype),
+                "b": g["b"] + dgates32.sum(axis=(0, 1, 2)).astype(g["b"].dtype),
+            }
+            din, dh_in = dxh[..., :cin], dxh[..., cin:]
+            if li > 0:
+                ph, pc = d_state[li - 1]
+                d_state[li - 1] = [ph + din.astype(jnp.float32), pc]
+            else:
+                dxs_t = din.astype(xs.dtype)
+            new_d[li] = (dh_in.astype(jnp.float32), dc_prev)
+        d_params = dict(d_params, cells=cells_g)
+        return (new_d, d_params), dxs_t
+
+    (d_state0, d_params), dxs = jax.lax.scan(
+        back, (d_final, zero_pgrads), (xs, state_stack),
+        reverse=True, unroll=unroll,
+    )
+    return d_params, dxs, d_state0
+
+
+scan_cells_pallas2.defvjp(_scan_fwd, _scan_bwd)

@@ -90,17 +90,27 @@ def _margin_mask(th: int, wp: int, ch: int, o: int, w_valid: int):
 
 
 def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
-                    w_valid: int, has_xg: bool):
+                    w_valid: int, has_xg: bool, emit_gates: bool = False):
     """One (batch, row-tile) grid cell.
 
     refs (inputs): prev, cur, next — (1, th, wp, C) row tiles of the
     padded-column input (tile ti-1 / ti / ti+1, clamped at the domain
     edges); c (1, th, wp, hidden) f32; w (k, k, C, 4*hidden); b (1, 4h);
-    [xg (1, th, wp, 4h) when has_xg].  Outputs: h', c' (1, th, wp, hidden).
+    [xg (1, th, wp, 4h) when has_xg].  Outputs: h', c' (1, th, wp, hidden);
+    [pre-activation gates (1, th, wp, 4h) when emit_gates — the training
+    residual that lets the VJP skip the forward-conv recompute].
     """
-    if has_xg:
+    g_out_ref = None
+    if has_xg and emit_gates:
+        prev_ref, cur_ref, next_ref, c_ref, w_ref, b_ref, xg_ref, \
+            h_out_ref, c_out_ref, g_out_ref = refs
+    elif has_xg:
         prev_ref, cur_ref, next_ref, c_ref, w_ref, b_ref, xg_ref, \
             h_out_ref, c_out_ref = refs
+    elif emit_gates:
+        prev_ref, cur_ref, next_ref, c_ref, w_ref, b_ref, \
+            h_out_ref, c_out_ref, g_out_ref = refs
+        xg_ref = None
     else:
         prev_ref, cur_ref, next_ref, c_ref, w_ref, b_ref, \
             h_out_ref, c_out_ref = refs
@@ -145,6 +155,10 @@ def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
         acc = acc + (pltpu.roll(partial, shift, 0) if shift else partial)
 
     gates = (acc + b_ref[0].astype(jnp.float32)).reshape(th, wp, 4 * hidden)
+    if g_out_ref is not None:
+        # margin values are roll/conv-edge garbage but the VJP masks its
+        # cotangents to the valid columns, so they are never read
+        g_out_ref[0] = gates.astype(g_out_ref.dtype)
     i = jax.nn.sigmoid(gates[..., :hidden])
     f = jax.nn.sigmoid(gates[..., hidden : 2 * hidden])
     g = jnp.tanh(gates[..., 2 * hidden : 3 * hidden])
@@ -169,9 +183,12 @@ def fused_cell_forward_v2(
     xg: Optional[jnp.ndarray] = None,  # (B, H, wp, 4*hidden) hoisted gates
     *,
     interpret: bool | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    emit_gates: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Fused conv-gate cell in the padded-column layout; returns (h', c')
-    f32 in the same layout (margins zeroed)."""
+    f32 in the same layout (margins zeroed); with ``emit_gates`` also the
+    pre-activation gates (compute dtype) as a third output — the residual
+    that lets the training VJP skip the forward-conv recompute."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, H, wp, C = xh.shape
@@ -179,7 +196,9 @@ def fused_cell_forward_v2(
     p = k // 2
     th = _pick_row_tile(H)
     if th <= p or wp % 8 or o < p or wp - o - w_valid < p:
-        return _cell_reference_v2(xh, c, w, b, k, o, w_valid, xg)
+        return _cell_reference_v2(
+            xh, c, w, b, k, o, w_valid, xg, emit_gates=emit_gates
+        )
     n_tiles = H // th
 
     # channels to a 128-lane multiple (free on the MXU, keeps every
@@ -222,7 +241,7 @@ def fused_cell_forward_v2(
 
     kernel = functools.partial(
         _cell_kernel_v2, k=k, th=th, wp=wp, hidden=hidden, o=o,
-        w_valid=w_valid, has_xg=xg is not None,
+        w_valid=w_valid, has_xg=xg is not None, emit_gates=emit_gates,
     )
     # Inside shard_map (the explicit-halo sharded serving path) the outputs
     # vary over the same mesh axes as the local-tile inputs; propagate the
@@ -231,19 +250,32 @@ def fused_cell_forward_v2(
         getattr(jax.typeof(c), "vma", ()) or ()
     )
     out_sds = jax.ShapeDtypeStruct((B, H, wp, hidden), jnp.float32, vma=vma)
+    out_specs = [state_block, state_block]
+    out_shape = [out_sds, out_sds]
+    if emit_gates:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, H, wp, 4 * hidden), xh.dtype, vma=vma)
+        )
     return pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
         in_specs=in_specs,
-        out_specs=[state_block, state_block],
-        out_shape=[out_sds, out_sds],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
 
 
-def _cell_reference_v2(xh, c, w, b, k, o, w_valid, xg=None):
+def _cell_reference_v2(xh, c, w, b, k, o, w_valid, xg=None, *,
+                       emit_gates: bool = False):
     """Margin-masked plain-XLA cell in the padded-column layout (identical
-    math; custom-VJP backward source and small-shape fallback)."""
+    math; small-shape fallback and grad-test oracle)."""
     from nasa_niswan_tpu.models.convlstm import gate_update
 
     gates = conv2d(xh, w, padding=k // 2) + b
@@ -251,7 +283,36 @@ def _cell_reference_v2(xh, c, w, b, k, o, w_valid, xg=None):
         gates = gates + xg.astype(gates.dtype)
     h_new, c_new = gate_update(gates, c)
     mask = _margin_mask(1, xh.shape[-2], 1, o, w_valid)[0, :, :]
+    if emit_gates:
+        return h_new * mask, c_new * mask, gates.astype(xh.dtype)
     return h_new * mask, c_new * mask
+
+
+def _elementwise_bwd(gates, c, dh, dc, o, w_valid):
+    """Hand-written backward of the gate nonlinearity + state update
+    (model.py:221-229 math): output cotangents (dh', dc') -> pre-activation
+    gate cotangents + dc_prev.  Pure VPU work; the conv halves of the
+    backward go through XLA's optimized conv grads.  Cotangents are
+    margin-masked first, so garbage gate values in the margins (roll
+    wraparound) never propagate."""
+    hid = c.shape[-1]
+    g32 = gates.astype(jnp.float32)
+    i = jax.nn.sigmoid(g32[..., :hid])
+    f = jax.nn.sigmoid(g32[..., hid : 2 * hid])
+    g = jnp.tanh(g32[..., 2 * hid : 3 * hid])
+    og = jax.nn.sigmoid(g32[..., 3 * hid :])
+    c32 = c.astype(jnp.float32)
+    tc = jnp.tanh(c32 * f + i * g)
+    mask = _margin_mask(1, c.shape[-2], 1, o, w_valid)[0, :, :]
+    dh = dh * mask
+    dc = dc * mask
+    dct = dc + dh * og * (1.0 - tc * tc)
+    d_i = dct * g * i * (1.0 - i)
+    d_f = dct * c32 * f * (1.0 - f)
+    d_g = dct * i * (1.0 - g * g)
+    d_o = dh * tc * og * (1.0 - og)
+    dgates = jnp.concatenate([d_i, d_f, d_g, d_o], axis=-1)
+    return dgates, dct * f
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -260,16 +321,24 @@ def _fused_cell_v2(xh, c, w, b, k, o, w_valid):
 
 
 def _v2_fwd(xh, c, w, b, k, o, w_valid):
-    return fused_cell_forward_v2(xh, c, w, b, k, o, w_valid), (xh, c, w, b)
+    # the forward kernel additionally spills the pre-activation gates
+    # (compute dtype) — the residual that makes the backward recompute-free
+    h_new, c_new, gates = fused_cell_forward_v2(
+        xh, c, w, b, k, o, w_valid, emit_gates=True
+    )
+    return (h_new, c_new), (xh, c, gates, w)
 
 
 def _v2_bwd(k, o, w_valid, res, grads):
-    xh, c, w, b = res
-    _, vjp = jax.vjp(
-        lambda xh, c, w, b: _cell_reference_v2(xh, c, w, b, k, o, w_valid),
-        xh, c, w, b,
+    xh, c, gates, w = res
+    dgates32, dc_prev = _elementwise_bwd(gates, c, *grads, o, w_valid)
+    dgates = dgates32.astype(xh.dtype)
+    _, lin_vjp = jax.vjp(
+        lambda xh_, w_: conv2d(xh_, w_, padding=k // 2), xh, w
     )
-    return vjp(grads)
+    dxh, dw = lin_vjp(dgates)
+    db = dgates32.sum(axis=(0, 1, 2))
+    return dxh, dc_prev, dw, db
 
 
 _fused_cell_v2.defvjp(_v2_fwd, _v2_bwd)
@@ -281,19 +350,23 @@ def _fused_cell_v2_xg(xg, h, c, w_h, b, k, o, w_valid):
 
 
 def _v2_xg_fwd(xg, h, c, w_h, b, k, o, w_valid):
-    out = fused_cell_forward_v2(h, c, w_h, b, k, o, w_valid, xg)
-    return out, (xg, h, c, w_h, b)
+    h_new, c_new, gates = fused_cell_forward_v2(
+        h, c, w_h, b, k, o, w_valid, xg, emit_gates=True
+    )
+    return (h_new, c_new), (h, c, gates, w_h)
 
 
 def _v2_xg_bwd(k, o, w_valid, res, grads):
-    xg, h, c, w_h, b = res
-    _, vjp = jax.vjp(
-        lambda xg, h, c, w_h, b: _cell_reference_v2(
-            h, c, w_h, b, k, o, w_valid, xg
-        ),
-        xg, h, c, w_h, b,
+    h, c, gates, w_h = res
+    dgates32, dc_prev = _elementwise_bwd(gates, c, *grads, o, w_valid)
+    dgates = dgates32.astype(h.dtype)
+    _, lin_vjp = jax.vjp(
+        lambda h_, w_: conv2d(h_, w_, padding=k // 2), h, w_h
     )
-    return vjp(grads)
+    dh, dw_h = lin_vjp(dgates)
+    db = dgates32.sum(axis=(0, 1, 2))
+    # xg enters in the compute dtype (the hoisted conv's output == h.dtype)
+    return dgates, dh, dc_prev, dw_h, db
 
 
 _fused_cell_v2_xg.defvjp(_v2_xg_fwd, _v2_xg_bwd)

@@ -37,6 +37,16 @@ def main():
         help="impl:mode pairs; mode hoist = precompute_input_conv",
     )
     ap.add_argument(
+        "--train", action="store_true",
+        help="benchmark the TRAINING step (value_and_grad + adam update) "
+             "instead of the serving rollout, at the canonical config-#1 "
+             "shapes (T=48, 5ch, 90x144->100x154, bf16) for each "
+             "--train-batches batch size; compares the pallas2 whole-scan "
+             "BPTT (ops/convlstm_bptt.py) against XLA autodiff+remat",
+    )
+    ap.add_argument("--train-batches", nargs="*", type=int, default=[4, 8])
+    ap.add_argument("--train-steps", type=int, default=6)
+    ap.add_argument(
         "--parity", action="store_true",
         help="before timing, assert the COMPILED pallas2 path matches the "
              "XLA cell on this backend at bf16 tolerance (the guard behind "
@@ -53,6 +63,10 @@ def main():
         make_rollout_fn,
         model_days_per_min,
     )
+
+    if args.train:
+        _bench_train(args)
+        return
 
     C = 3 * 20 + 2
     PADDED, GRID = (100, 154), (90, 144)
@@ -139,6 +153,66 @@ def main():
             ),
             flush=True,
         )
+
+
+def _bench_train(args):
+    """Training-step rows: per batch size, full jitted train step
+    (preprocess + value_and_grad + adam) for xla vs pallas2.  The pallas2
+    path runs the whole-scan BPTT; per-step host sync (float(loss)) is
+    required because block_until_ready is asynchronous through the axon
+    tunnel."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from nasa_niswan_tpu.data.dataset import Normalizer
+    from nasa_niswan_tpu.models.registry import build_model
+    from nasa_niswan_tpu.train.loop import make_optimizer, make_train_step
+
+    rng = np.random.default_rng(0)
+    norm = Normalizer(
+        x_mean=np.zeros(5, np.float32), x_std=np.ones(5, np.float32),
+        y_mean=0.0, y_std=1.0,
+    )
+    for B in args.train_batches:
+        row = {"train_batch": B}
+        for impl in ("xla", "pallas2"):
+            bundle = build_model(
+                "LSTM", in_channels=5, compute_dtype="bfloat16",
+                cell_impl=impl, remat=True,
+            )
+            params, state = bundle.init(jax.random.PRNGKey(0))
+            opt = make_optimizer(1e-3, (0.9, 0.999))
+            opt_state = opt.init(params)
+            step = make_train_step(
+                bundle, norm, opt, padded_shape=(100, 154),
+                grid_shape=(90, 144),
+            )
+            x = jnp.asarray(
+                rng.standard_normal((B, 48, 5, 90, 144)), jnp.float32
+            )
+            y = jnp.asarray(rng.standard_normal((B, 90, 144)), jnp.float32)
+            key = jax.random.PRNGKey(1)
+            try:
+                params, state, opt_state, m = step(
+                    params, state, opt_state, x, y, key
+                )
+                float(m["loss"])
+                ts = []
+                for _ in range(args.train_steps):
+                    t0 = _time.perf_counter()
+                    params, state, opt_state, m = step(
+                        params, state, opt_state, x, y, key
+                    )
+                    row[f"loss_{impl}"] = round(float(m["loss"]), 6)
+                    ts.append((_time.perf_counter() - t0) * 1e3)
+                row[f"ms_{impl}"] = round(min(ts), 1)
+            except Exception as e:  # noqa: BLE001 — report and continue
+                row[f"error_{impl}"] = repr(e)[:200]
+        if "ms_xla" in row and "ms_pallas2" in row:
+            row["speedup_pallas2"] = round(row["ms_xla"] / row["ms_pallas2"], 3)
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -188,3 +188,114 @@ def test_full_model_with_pallas2_tuple_inputs(rng):
         initial_state=got_state,
     )
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
+
+
+def test_bptt_scan_matches_xla_grads(rng):
+    """The whole-scan BPTT (ops/convlstm_bptt.py — the pallas2+remat
+    training path) must produce the same loss value AND parameter/input/
+    state gradients as XLA autodiff through the plain cell.  The loss taps
+    both the final pred and the returned carry, so every cotangent route
+    (head crop, state crop, cross-layer, cross-step) is exercised."""
+    from nasa_niswan_tpu.models.convlstm import (
+        ConvLSTMConfig,
+        convlstm_apply,
+        convlstm_init,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 4, 16, 24, 5)).astype(np.float32))
+    base = ConvLSTMConfig(5, (4, 4), (5, 3), remat=True)
+    bptt = ConvLSTMConfig(5, (4, 4), (5, 3), cell_impl="pallas2", remat=True)
+    params = convlstm_init(jax.random.PRNGKey(0), base)
+    state0 = [
+        (
+            jnp.asarray(rng.standard_normal((2, 16, 24, 4)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((2, 16, 24, 4)).astype(np.float32)),
+        )
+        for _ in range(2)
+    ]
+
+    def loss(cfg):
+        def f(params, x, state0):
+            pred, st = convlstm_apply(
+                params, x, cfg, initial_state=state0, return_state=True
+            )
+            return (
+                jnp.sum(pred**2)
+                + sum(jnp.sum(h) + jnp.sum(c * c) for h, c in st)
+            )
+
+        return f
+
+    v1, g1 = jax.value_and_grad(loss(base), argnums=(0, 1, 2))(
+        params, x, state0
+    )
+    v2, g2 = jax.value_and_grad(loss(bptt), argnums=(0, 1, 2))(
+        params, x, state0
+    )
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+        )
+
+
+def test_bptt_scan_zero_state_pred_only(rng):
+    """BPTT grads with the default zero carry and a pred-only loss (the
+    canonical train step, train/loop.py) match XLA autodiff."""
+    from nasa_niswan_tpu.models.convlstm import (
+        ConvLSTMConfig,
+        convlstm_apply,
+        convlstm_init,
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 3, 16, 24, 5)).astype(np.float32))
+    base = ConvLSTMConfig(5, (4,), (3,), remat=True)
+    bptt = ConvLSTMConfig(5, (4,), (3,), cell_impl="pallas2", remat=True)
+    params = convlstm_init(jax.random.PRNGKey(0), base)
+
+    g1 = jax.grad(lambda p: jnp.sum(convlstm_apply(p, x, base) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(convlstm_apply(p, x, bptt) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+        )
+
+
+def test_cell_impl_auto_resolution(rng, monkeypatch):
+    """cell_impl='auto' resolves at trace time: pallas2 at B<=4 on TPU,
+    xla otherwise (measured crossover, docs/PERFORMANCE.md) — and both
+    resolutions produce the XLA path's numbers."""
+    import nasa_niswan_tpu.models.convlstm as mc
+
+    x = jnp.asarray(rng.standard_normal((2, 3, 16, 24, 5)).astype(np.float32))
+    base = ConvLSTMConfig = mc.ConvLSTMConfig(5, (4,), (3,))
+    auto = mc.ConvLSTMConfig(5, (4,), (3,), cell_impl="auto")
+    params = mc.convlstm_init(jax.random.PRNGKey(0), base)
+    want = mc.convlstm_apply(params, x, base)
+
+    # on CPU auto -> xla
+    got = mc.convlstm_apply(params, x, auto)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    # pretend we are on TPU: B<=4 must route to the pallas2 (padded-column)
+    # path, whose interpret-mode result still matches
+    monkeypatch.setattr(mc.jax, "default_backend", lambda: "tpu")
+    seen = {}
+    import nasa_niswan_tpu.ops.convlstm_pallas2 as cp2
+    orig = cp2.fused_cell_forward_v2
+
+    def spy(*a, **kw):
+        seen["pallas2"] = True
+        kw["interpret"] = True  # the faked backend would try to compile
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(cp2, "fused_cell_forward_v2", spy)
+    got2 = mc.convlstm_apply(params, x, auto)
+    assert seen.get("pallas2"), "auto at B<=4 on TPU must pick pallas2"
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=1e-5)
+
+    # B>4 stays on the XLA cell
+    seen.clear()
+    x8 = jnp.asarray(rng.standard_normal((8, 2, 16, 24, 5)).astype(np.float32))
+    mc.convlstm_apply(params, x8, auto)
+    assert "pallas2" not in seen
