@@ -12,7 +12,9 @@ Writes the same five daily-file families the real ingestion path consumes
 with a CF no-leap time coordinate — so the lazy loaders, the packer, and
 the calendar decoding run end-to-end in CI (the real tree's schema was
 otherwise exercised for the first time only on NASA hardware; VERDICT r1
-gap #3).  Files are netCDF3 classic via data/ncio (no xarray needed).
+gap #3).  Files are netCDF3 classic via data/ncio by default; pass
+fmt="netcdf4" to emit HDF5 trees that exercise the h5py backend (the
+format newer ModelE post-processing emits).
 """
 
 from __future__ import annotations
@@ -39,6 +41,7 @@ def write_fixture_tree(
     levels: int = 3,
     seed: int = 0,
     start_hours: float = 0.0,
+    fmt: str = "netcdf3",
 ) -> Dict[str, np.ndarray]:
     """Write ``days`` daily file sets under ``root``; returns the full
     concatenated field arrays (for oracle comparison in tests):
@@ -71,7 +74,8 @@ def write_fixture_tree(
         sl = slice(d * steps_per_day, (d + 1) * steps_per_day)
         date = times[sl.start].strftime("%Y%m%d")
         common = dict(
-            time_values=hours[sl], time_units=_STEP_UNITS, calendar="noleap"
+            time_values=hours[sl], time_units=_STEP_UNITS, calendar="noleap",
+            fmt=fmt,
         )
         dsize = {"time": steps_per_day, "level": levels, "lat": H, "lon": W}
         write_nc(

@@ -6,11 +6,16 @@ Neither library ships in the TPU image, so this module provides the small
 subset the ingestion path actually needs:
 
   * ``open_nc(path)`` — read a netCDF file's variables and decoded time
-    axis.  Uses xarray when installed (netCDF4/HDF5 files), otherwise a
-    built-in ``scipy.io.netcdf_file`` backend (netCDF3 classic — the
-    format of ModelE's ``aij*`` diagnostics and of the test fixtures).
-  * ``write_nc(path, ...)`` — netCDF3 writer (scipy) for fixtures and the
-    offline static-attrs builder.
+    axis.  Dispatches on the file's magic bytes: ``CDF`` (netCDF3
+    classic, the format of ModelE's ``aij*`` diagnostics and of the test
+    fixtures) goes through ``scipy.io.netcdf_file``; the HDF5 signature
+    (netCDF4 — what newer ModelE/post-processing toolchains emit) goes
+    through a built-in h5py backend that understands the netCDF4
+    dimension-scale convention.  xarray, when installed, is the fallback
+    for anything else.
+  * ``write_nc(path, ..., fmt=...)`` — netCDF3 (scipy) or netCDF4 (h5py
+    dimension scales) writer for fixtures and the offline static-attrs
+    builder.
   * ``decode_noleap_times(values, units, calendar)`` — "<unit> since
     <base>" decoding under the 365-day no-leap calendar, matching
     cftime's ``to_datetimeindex()`` mapping of calendar dates onto
@@ -209,15 +214,76 @@ def _open_xarray(path: str) -> NcFile:  # pragma: no cover - needs xarray
         ds.close()
 
 
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+
+def _decode_attr(v, default=""):
+    if v is None:
+        return default
+    if isinstance(v, bytes):
+        return v.decode()
+    if isinstance(v, np.ndarray):  # h5py may return 0-d / 1-element arrays
+        v = v.reshape(-1)[0]
+        return v.decode() if isinstance(v, bytes) else str(v)
+    return str(v)
+
+
+def _open_h5(path: str) -> NcFile:
+    """netCDF4 (HDF5) reader via h5py, honouring the netCDF4 dimension-
+    scale convention: coordinate variables are HDF5 dimension scales;
+    every data variable's axes reference the scales via DIMENSION_LIST.
+    ModelE-style files are flat (root group only), which is all the
+    ingestion path needs."""
+    import h5py
+
+    variables: Dict[str, np.ndarray] = {}
+    dims: Dict[str, Tuple[str, ...]] = {}
+    time = None
+    with h5py.File(path, "r") as f:
+        for name, ds in f.items():
+            if not isinstance(ds, h5py.Dataset):
+                continue
+            variables[name] = np.asarray(ds[...])
+            if _decode_attr(ds.attrs.get("CLASS")) == "DIMENSION_SCALE":
+                dims[name] = (name,)
+                continue
+            axes = []
+            for i in range(ds.ndim):
+                label = ""
+                try:
+                    attached = list(ds.dims[i].values())
+                except Exception:
+                    attached = []
+                if attached:
+                    label = attached[0].name.rsplit("/", 1)[-1]
+                axes.append(label or ds.dims[i].label or f"phony_dim_{i}")
+            dims[name] = tuple(axes)
+        if "time" in f:
+            t = f["time"]
+            time = decode_noleap_times(
+                variables["time"],
+                _decode_attr(t.attrs.get("units"), "days since 1950-01-01"),
+                _decode_attr(t.attrs.get("calendar"), "noleap"),
+            )
+    return NcFile(variables, dims, time)
+
+
 def open_nc(path: str) -> NcFile:
-    """Open a netCDF file.  scipy backend for netCDF3 classic; xarray (when
-    installed) for netCDF4/HDF5."""
-    if not HAVE_XARRAY:
+    """Open a netCDF file, dispatching on its magic bytes: netCDF3
+    classic -> scipy; HDF5 (netCDF4) -> h5py; anything else -> xarray
+    when installed."""
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    if magic[:3] == b"CDF":
         return _open_scipy(path)
-    try:  # pragma: no cover
-        return _open_scipy(path)  # cheap path first: classic format
-    except Exception:  # pragma: no cover
+    if magic == _HDF5_MAGIC:
+        return _open_h5(path)
+    if HAVE_XARRAY:  # pragma: no cover - exercised only with xarray
         return _open_xarray(path)
+    raise ValueError(
+        f"{path}: not netCDF3 classic or HDF5/netCDF4 (magic {magic!r}) "
+        "and xarray is not installed"
+    )
 
 
 def write_nc(
@@ -228,13 +294,22 @@ def write_nc(
     time_values: Optional[np.ndarray] = None,
     time_units: str = "hours since 1950-01-01",
     calendar: str = "noleap",
+    fmt: str = "netcdf3",
 ) -> str:
-    """Write a netCDF3 classic file (scipy backend — no xarray needed).
+    """Write a netCDF file (fmt "netcdf3": scipy classic; "netcdf4": h5py
+    with the dimension-scale convention, readable by netCDF4/xarray).
 
     ``variables`` maps name -> (dims, array).  When ``time_values`` is
     given, a CF time coordinate with the no-leap calendar is written —
     matching the ModelE files the readers expect.
     """
+    if fmt == "netcdf4":
+        return _write_h5(
+            path, dim_sizes, variables, time_values=time_values,
+            time_units=time_units, calendar=calendar,
+        )
+    if fmt != "netcdf3":
+        raise ValueError(f"unknown fmt {fmt!r}")
     from scipy.io import netcdf_file
 
     with netcdf_file(path, "w") as f:
@@ -251,4 +326,37 @@ def write_nc(
             arr = np.asarray(arr)
             v = f.createVariable(name, arr.dtype.str.lstrip("<>|"), tuple(dims))
             v[:] = arr
+    return path
+
+
+def _write_h5(
+    path, dim_sizes, variables, *, time_values, time_units, calendar
+) -> str:
+    """netCDF4-style HDF5 writer: one dimension-scale dataset per dim
+    (time carries CF units/calendar attrs), data variables attach the
+    scales axis-by-axis — the layout ``_open_h5`` and any standard
+    netCDF4 reader expect."""
+    import h5py
+
+    sizes = dict(dim_sizes)
+    if time_values is not None and "time" not in sizes:
+        sizes["time"] = len(time_values)
+    with h5py.File(path, "w") as f:
+        scales = {}
+        for name, size in sizes.items():
+            if name == "time" and time_values is not None:
+                ds = f.create_dataset(
+                    name, data=np.asarray(time_values, np.float64)
+                )
+                ds.attrs["units"] = time_units
+                ds.attrs["calendar"] = calendar
+            else:
+                ds = f.create_dataset(name, data=np.arange(size, dtype=np.float64))
+            ds.make_scale(name)
+            scales[name] = ds
+        for name, (dims, arr) in variables.items():
+            arr = np.asarray(arr)
+            v = f.create_dataset(name, data=arr)
+            for i, d in enumerate(dims):
+                v.dims[i].attach_scale(scales[d])
     return path
