@@ -309,9 +309,16 @@ def save_animation_frames(
     prefix: str = "frame",
     cmap: str = "viridis",
     every: int = 1,
+    projection: Optional[str] = None,
+    grid_lat=None,
+    grid_lon=None,
 ) -> int:
     """Export per-timestep maps as PNG frames (test.ipynb cells 31-34's
-    animation, without the notebook display loop).  Returns frame count."""
+    animation, without the notebook display loop).  Returns frame count.
+
+    ``projection="robinson"`` (with grid_lat/grid_lon) renders each frame
+    through evalx.plots.plot_global_map — the notebook's cartopy Robinson
+    frames, rendered via the built-in warp when cartopy is absent."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -321,11 +328,24 @@ def save_animation_frames(
     vmin, vmax = float(np.min(fields)), float(np.max(fields))
     count = 0
     for t in range(0, len(fields), every):
-        fig, ax = plt.subplots(figsize=(6, 4))
-        ax.imshow(fields[t], origin="lower", cmap=cmap, vmin=vmin, vmax=vmax)
-        ax.set_title(f"t={t}")
-        fig.savefig(os.path.join(out_dir, f"{prefix}-{t:05d}.png"),
-                    bbox_inches="tight")
+        path = os.path.join(out_dir, f"{prefix}-{t:05d}.png")
+        if projection is not None:
+            from nasa_niswan_tpu.evalx.plots import plot_global_map
+
+            if grid_lat is None or grid_lon is None:
+                nlat, nlon = fields[t].shape
+                grid_lat = np.linspace(-90, 90, nlat)
+                grid_lon = np.linspace(-180, 180, nlon, endpoint=False)
+            fig = plot_global_map(
+                fields[t], grid_lat, grid_lon, projection=projection,
+                title=f"t={t}", save_path=path,
+                cmap=cmap, vmin=vmin, vmax=vmax,
+            )
+        else:
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.imshow(fields[t], origin="lower", cmap=cmap, vmin=vmin, vmax=vmax)
+            ax.set_title(f"t={t}")
+            fig.savefig(path, bbox_inches="tight")
         plt.close(fig)
         count += 1
     return count

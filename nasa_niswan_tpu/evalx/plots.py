@@ -156,23 +156,151 @@ def plot_on_grid(
     return fig
 
 
+# Robinson projection table (Robinson 1974; the published 5-degree
+# parallel-length X and parallel-distance Y multipliers the projection is
+# DEFINED by — public mathematical constants, interpolated below).
+_ROBINSON_LAT = np.arange(0.0, 91.0, 5.0)
+_ROBINSON_X = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322,
+])
+_ROBINSON_Y = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000,
+])
+
+
+def robinson_xy(
+    lat_deg: np.ndarray, lon_deg: np.ndarray, *, lon_0: float = 0.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Project (lat, lon) degrees onto Robinson map coordinates.
+
+    x = 0.8487 * X(|lat|) * (lon - lon_0)   [lon in radians]
+    y = 1.3523 * sign(lat) * Y(|lat|)
+
+    X/Y come from cubic interpolation of the defining 5-degree table
+    (matching PROJ's robin to visual accuracy).  Pure numpy/scipy — this
+    is what lets the Robinson figures of test.ipynb cells 20-21/37-38
+    render without cartopy in the TPU image.
+    """
+    from scipy.interpolate import CubicSpline
+
+    lat = np.asarray(lat_deg, np.float64)
+    lon = np.asarray(lon_deg, np.float64)
+    a = np.clip(np.abs(lat), 0.0, 90.0)
+    X = CubicSpline(_ROBINSON_LAT, _ROBINSON_X)(a)
+    Y = CubicSpline(_ROBINSON_LAT, _ROBINSON_Y)(a)
+    dlon = lon - lon_0  # wrap to [-180, 180], preserving the boundaries
+    dlon = np.where(dlon > 180.0, dlon - 360.0, dlon)
+    dlon = np.where(dlon < -180.0, dlon + 360.0, dlon)
+    x = 0.8487 * X * np.deg2rad(dlon)
+    y = 1.3523 * np.sign(lat) * Y
+    return x, y
+
+
+def _robinson_pcolormesh(ax, grid_lat, grid_lon, field, *, lon_0=0.0, **kw):
+    """pcolormesh of a (lat, lon) field warped onto Robinson coordinates:
+    cell corners are projected individually so quads follow the curved
+    parallels; adds the projection boundary and a 30/60-degree graticule."""
+    la = np.asarray(grid_lat, np.float64)
+    lo = np.asarray(grid_lon, np.float64)
+
+    def corners(c, limit):
+        mid = (c[:-1] + c[1:]) / 2
+        return np.clip(
+            np.concatenate([[2 * c[0] - mid[0]], mid, [2 * c[-1] - mid[-1]]]),
+            -limit, limit,
+        )
+    LA, LO = np.meshgrid(corners(la, 90.0), corners(lo, 180.0), indexing="ij")
+    X, Y = robinson_xy(LA, LO, lon_0=lon_0)
+    im = ax.pcolormesh(X, Y, field, **kw)
+
+    edge_lat = np.linspace(-90, 90, 181)
+    for sgn in (-1.0, 1.0):
+        bx, by = robinson_xy(edge_lat, np.full_like(edge_lat, sgn * 180.0 + lon_0))
+        ax.plot(bx, by, color="black", linewidth=0.8)
+    for glat in range(-60, 61, 30):
+        gx, gy = robinson_xy(
+            np.full(121, float(glat)), np.linspace(-180, 180, 121) + lon_0,
+            lon_0=lon_0,
+        )
+        ax.plot(gx, gy, color="gray", linewidth=0.3, alpha=0.6)
+    for glon in range(-150, 151, 60):
+        gx, gy = robinson_xy(
+            np.linspace(-90, 90, 91), np.full(91, float(glon) + lon_0),
+            lon_0=lon_0,
+        )
+        ax.plot(gx, gy, color="gray", linewidth=0.3, alpha=0.6)
+    ax.set_aspect("equal")
+    ax.set_axis_off()
+    return im
+
+
+def plot_global_map(
+    field: np.ndarray,
+    grid_lat: Sequence[float],
+    grid_lon: Sequence[float],
+    *,
+    projection: Optional[str] = None,
+    title: Optional[str] = None,
+    cbar_label: Optional[str] = None,
+    save_path: Optional[str] = None,
+    ax=None,
+    **mesh_kw,
+):
+    """Global field map; ``projection=None`` is the plain lat-lon
+    pcolormesh, ``projection="robinson"`` the Robinson figure of
+    test.ipynb cells 20-21/37-38 — via cartopy when installed, else the
+    built-in numpy Robinson warp (visually equivalent, no coastlines)."""
+    _require_mpl()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(8, 5), constrained_layout=True)
+    else:
+        fig = ax.figure
+    if projection == "robinson":
+        try:  # pragma: no cover - cartopy not in the TPU image
+            import cartopy.crs as ccrs
+
+            fig.delaxes(ax)
+            ax = fig.add_subplot(projection=ccrs.Robinson())
+            im = ax.pcolormesh(
+                grid_lon, grid_lat, field,
+                transform=ccrs.PlateCarree(), **mesh_kw,
+            )
+            ax.coastlines(linewidth=0.5)
+            ax.set_global()
+        except ImportError:
+            im = _robinson_pcolormesh(ax, grid_lat, grid_lon, field, **mesh_kw)
+    elif projection is None:
+        im = ax.pcolormesh(grid_lon, grid_lat, field, **mesh_kw)
+    else:
+        raise ValueError(f"unknown projection {projection!r}")
+    if title:
+        ax.set_title(title)
+    fig.colorbar(im, ax=ax, orientation="horizontal", pad=0.02, shrink=0.7,
+                 label=cbar_label)
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", pad_inches=0.1)
+    return fig
+
+
 def plot_r2_map(
     r2_map: np.ndarray,
     grid_lat: Sequence[float],
     grid_lon: Sequence[float],
     *,
+    projection: Optional[str] = None,
     save_path: Optional[str] = None,
 ):
-    """Global R^2 map (test.ipynb cell 38's pcolormesh; plain lat-lon
-    projection — cartopy is not in the TPU image)."""
-    _require_mpl()
-    fig, ax = plt.subplots(figsize=(8, 5), constrained_layout=True)
-    im = ax.pcolormesh(grid_lon, grid_lat, r2_map, cmap="RdBu_r", vmin=-1, vmax=1)
-    fig.colorbar(im, ax=ax, orientation="horizontal", pad=0.02, shrink=0.7,
-                 label=r"Coefficient of Determination ($R^2$)")
-    if save_path:
-        fig.savefig(save_path, bbox_inches="tight", pad_inches=0.1)
-    return fig
+    """Global R^2 map (test.ipynb cell 38; pass projection="robinson" for
+    the notebook's Robinson rendering — built-in warp, cartopy optional)."""
+    return plot_global_map(
+        r2_map, grid_lat, grid_lon, projection=projection,
+        cbar_label=r"Coefficient of Determination ($R^2$)",
+        save_path=save_path, cmap="RdBu_r", vmin=-1, vmax=1,
+    )
 
 
 def plot_oat_boxplot(

