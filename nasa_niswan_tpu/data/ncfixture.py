@@ -140,3 +140,44 @@ def write_static_attrs_inputs(
         {"axyp": (dims, f()), "landfr": (dims, f()), "ocnfr": (dims, f())},
     )
     return paths
+
+
+def write_monthly_fixture(
+    root: str,
+    *,
+    months: int = 12,
+    start_year: int = 1950,
+    H: int = 10,
+    W: int = 16,
+    seed: int = 2,
+    fmt: str = "netcdf3",
+) -> Dict[str, np.ndarray]:
+    """Write a ``xaijE33oma_ai`` monthly-means tree (dataset_config.ipynb
+    cells 29-34's input): one file per month, 11 attribute variables, and
+    a RAW fractional-year time value (mid-month, 365-day calendar — the
+    reference opens these with decode_times=False).  Returns the oracle
+    arrays: each attribute (months, H, W) plus the month numbers."""
+    from nasa_niswan_tpu.data.monthly import MONTHLY_ATTRIBUTES
+
+    rng = np.random.default_rng(seed)
+    month_days = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+    dims = ("time", "lat", "lon")
+    os.makedirs(root, exist_ok=True)
+    out = {n: rng.standard_normal((months, H, W)).astype(np.float32)
+           for n in MONTHLY_ATTRIBUTES}
+    month_no = np.empty(months, np.int32)
+    for m in range(months):
+        year = start_year + m // 12
+        mo = m % 12
+        month_no[m] = mo + 1
+        frac = year + (sum(month_days[:mo]) + month_days[mo] / 2) / 365.0
+        name = f"{year}{mo + 1:02d}.xaijE33oma_ai.nc"
+        write_nc(
+            osp.join(root, name),
+            {"time": 1, "lat": H, "lon": W},
+            {"time": (("time",), np.array([frac], np.float64)),
+             **{n: (dims, out[n][m : m + 1]) for n in MONTHLY_ATTRIBUTES}},
+            fmt=fmt,
+        )
+    out["month"] = month_no
+    return out

@@ -341,10 +341,19 @@ def _write_h5(
     sizes = dict(dim_sizes)
     if time_values is not None and "time" not in sizes:
         sizes["time"] = len(time_values)
+    # an explicit coordinate variable (name == its only dim) becomes the
+    # scale itself — e.g. a raw fractional-year time axis
+    coord_vars = {
+        n for n, (dims, _a) in variables.items() if dims == (n,)
+    }
     with h5py.File(path, "w") as f:
         scales = {}
         for name, size in sizes.items():
-            if name == "time" and time_values is not None:
+            if name in coord_vars:
+                ds = f.create_dataset(
+                    name, data=np.asarray(variables[name][1], np.float64)
+                )
+            elif name == "time" and time_values is not None:
                 ds = f.create_dataset(
                     name, data=np.asarray(time_values, np.float64)
                 )
@@ -355,6 +364,8 @@ def _write_h5(
             ds.make_scale(name)
             scales[name] = ds
         for name, (dims, arr) in variables.items():
+            if name in coord_vars:
+                continue
             arr = np.asarray(arr)
             v = f.create_dataset(name, data=arr)
             for i, d in enumerate(dims):
