@@ -24,6 +24,7 @@ subset the ingestion path actually needs:
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, Mapping, Optional, Sequence, Tuple
 
@@ -275,6 +276,12 @@ def open_nc(path: str) -> NcFile:
     with open(path, "rb") as fh:
         magic = fh.read(8)
     if magic[:3] == b"CDF":
+        if os.environ.get("NISWAN_NO_NATIVE_NC") != "1":
+            from nasa_niswan_tpu.data.ncio_native import open_nc_native
+
+            f = open_nc_native(path)  # C++ mmap reader (native/nc3read.cpp)
+            if f is not None:
+                return f
         return _open_scipy(path)
     if magic == _HDF5_MAGIC:
         return _open_h5(path)

@@ -1,0 +1,125 @@
+"""Native (C++) netCDF3 reader vs the scipy backend: byte parity on
+every fixture family, record (unlimited) dims, CDF-2 offsets, partial
+record reads, and the graceful-fallback contract."""
+
+import numpy as np
+import pytest
+
+from nasa_niswan_tpu.data import ncio
+from nasa_niswan_tpu.data.ncfixture import write_fixture_tree
+from nasa_niswan_tpu.data.ncio import open_nc
+from nasa_niswan_tpu.data.ncio_native import (
+    available,
+    open_nc_native,
+    read_var_slice,
+)
+
+pytestmark = pytest.mark.skipif(
+    not available(), reason="native reader not built (no g++)"
+)
+
+
+def _assert_same(native, scipy_f):
+    assert sorted(native.variables) == sorted(scipy_f.variables)
+    for n in scipy_f.variables:
+        np.testing.assert_array_equal(native[n], scipy_f[n])
+        assert native[n].dtype == scipy_f[n].dtype
+        assert native.dims[n] == scipy_f.dims[n]
+    if scipy_f.time is None:
+        assert native.time is None
+    else:
+        assert list(native.time) == list(scipy_f.time)
+
+
+def test_fixture_tree_byte_parity(tmp_path):
+    root = str(tmp_path / "t")
+    write_fixture_tree(root, days=1, steps_per_day=4, H=6, W=8, levels=2)
+    import glob
+
+    paths = sorted(glob.glob(root + "/*.nc"))
+    assert len(paths) == 5
+    for p in paths:
+        _assert_same(open_nc_native(p), ncio._open_scipy(p))
+
+
+def test_open_nc_prefers_native_and_env_optout(tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    write_fixture_tree(root, days=1, steps_per_day=2, H=4, W=5, levels=1)
+    import glob
+
+    p = sorted(glob.glob(root + "/*.nc"))[0]
+    a = open_nc(p)
+    monkeypatch.setenv("NISWAN_NO_NATIVE_NC", "1")
+    b = open_nc(p)
+    _assert_same(a, b)
+
+
+def test_record_dimension_and_cdf2(tmp_path):
+    """Real ModelE trees use an UNLIMITED time dim (record-interleaved
+    layout) — the layout scipy's writer never produces for the fixtures —
+    and large files use 64-bit (CDF-2) offsets."""
+    from scipy.io import netcdf_file
+
+    for version, name in ((1, "rec1.nc"), (2, "rec2.nc")):
+        p = str(tmp_path / name)
+        f = netcdf_file(p, "w", version=version)
+        f.createDimension("time", None)  # unlimited -> record vars
+        f.createDimension("lat", 3)
+        f.createDimension("lon", 4)
+        v = f.createVariable("conc", "f", ("time", "lat", "lon"))
+        w = f.createVariable("emis", "d", ("time", "lat", "lon"))
+        t = f.createVariable("time", "d", ("time",))
+        t.units = b"hours since 1950-01-01"
+        t.calendar = b"noleap"
+        rng = np.random.default_rng(version)
+        conc = rng.standard_normal((5, 3, 4)).astype(np.float32)
+        emis = rng.standard_normal((5, 3, 4))
+        for r in range(5):
+            v[r] = conc[r]
+            w[r] = emis[r]
+            t[r] = r * 6.0
+        f.close()
+
+        nat, sp = open_nc_native(p), ncio._open_scipy(p)
+        _assert_same(nat, sp)
+        np.testing.assert_array_equal(nat["conc"], conc)
+        np.testing.assert_array_equal(nat["emis"], emis)
+        assert nat.time[2].hour == 12
+
+
+def test_single_record_var_no_padding(tmp_path):
+    """Format special case: with exactly ONE record variable the record
+    stride is NOT padded to 4 bytes (e.g. an int16 field)."""
+    from scipy.io import netcdf_file
+
+    p = str(tmp_path / "one.nc")
+    f = netcdf_file(p, "w")
+    f.createDimension("time", None)
+    f.createDimension("x", 3)
+    v = f.createVariable("a", "h", ("time", "x"))  # 6 bytes/record
+    for r in range(4):
+        v[r] = np.arange(3 * r, 3 * r + 3, dtype=np.int16)
+    f.close()
+    nat = open_nc_native(p)
+    np.testing.assert_array_equal(
+        nat["a"], np.arange(12, dtype=np.int16).reshape(4, 3)
+    )
+
+
+def test_partial_record_read(tmp_path):
+    root = str(tmp_path / "t")
+    write_fixture_tree(root, days=2, steps_per_day=4, H=5, W=6, levels=2)
+    import glob
+
+    p = sorted(glob.glob(root + "/*.taijlh1E33oma_ai.nc"))[0]
+    full = ncio._open_scipy(p)["BCB"]
+    part = read_var_slice(p, "BCB", 1, 2)
+    np.testing.assert_array_equal(part, full[1:3])
+
+
+def test_non_nc3_returns_none(tmp_path):
+    p = str(tmp_path / "x.nc")
+    with open(p, "wb") as fh:
+        fh.write(b"\x89HDF\r\n\x1a\nrest")
+    assert open_nc_native(p) is None
+    assert read_var_slice(p, "a", 0, 1) is None
