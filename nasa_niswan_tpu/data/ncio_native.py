@@ -91,6 +91,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
         ctypes.c_void_p,
     ]
+    lib.nc3_read_levels.restype = ctypes.c_int
+    lib.nc3_read_levels.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p,
+    ]
     return lib
 
 
@@ -157,6 +162,76 @@ def open_nc_native(path: str):
                 attr(b"calendar", "noleap"),
             )
         return NcFile(variables, dims, time)
+    finally:
+        lib.nc3_close(h)
+
+
+def read_vars(path: str, names, *, levels: Optional[int] = None) -> Optional[dict]:
+    """Open once and fully read ONLY the named variables (plus the
+    decoded time axis under key "time" when present) — the targeted-read
+    primitive behind read_day_fields: a taijlh1 day-file holds all three
+    species' concentrations, a surface-model day needs one.
+
+    ``levels=k`` keeps only the first k entries of any variable whose
+    second dimension is named "level" (the (time, level, lat, lon)
+    families), copying just those bytes — a surface (k=1) read of a
+    20-level field touches 1/20th of the data."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    from nasa_niswan_tpu.data.ncio import decode_noleap_times
+
+    h = lib.nc3_open(path.encode())
+    if not h:
+        return None
+    try:
+        out = {}
+        shape = (ctypes.c_uint64 * 8)()
+        ndim, typ = ctypes.c_int(), ctypes.c_int()
+
+        def read_full(name):
+            if lib.nc3_var_info(h, name.encode(), ctypes.byref(ndim), shape,
+                                ctypes.byref(typ)):
+                return None
+            shp = tuple(int(shape[k]) for k in range(ndim.value))
+            if (
+                levels is not None and len(shp) >= 2
+                and (lib.nc3_var_dim_name(h, name.encode(), 1) or b"").decode()
+                == "level"
+            ):
+                k = min(levels, shp[1])
+                arr = np.empty((shp[0], k) + shp[2:], _NC_DTYPES[typ.value])
+                if lib.nc3_read_levels(
+                    h, name.encode(), 0, shp[0], 0, k,
+                    arr.ctypes.data_as(ctypes.c_void_p),
+                ):
+                    return None
+                return arr
+            arr = np.empty(shp, _NC_DTYPES[typ.value])
+            if lib.nc3_read(h, name.encode(), 0, shp[0] if shp else 1,
+                            arr.ctypes.data_as(ctypes.c_void_p)):
+                return None
+            return arr
+
+        for n in names:
+            arr = read_full(n)
+            if arr is None:
+                return None
+            out[n] = arr
+        tvals = read_full("time")
+        if tvals is not None:
+            buf = ctypes.create_string_buffer(256)
+
+            def attr(a, default):
+                k = lib.nc3_var_attr_text(h, b"time", a, buf, 256)
+                return buf.raw[:k].decode() if k >= 0 else default
+
+            out["time"] = decode_noleap_times(
+                tvals,
+                attr(b"units", "days since 1950-01-01"),
+                attr(b"calendar", "noleap"),
+            )
+        return out
     finally:
         lib.nc3_close(h)
 

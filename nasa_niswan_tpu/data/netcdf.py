@@ -41,17 +41,52 @@ def list_velocity_files(root: str) -> List[str]:
     return sorted(out)
 
 
+def _read_time_axis(path: str):
+    """Decoded time index of one file.  Native fast path reads ONLY the
+    time variable (a velocity day-file is ~120 MB of which the time axis
+    is 384 bytes — the full-materialization backends read it all)."""
+    from nasa_niswan_tpu.data import ncio_native as nat
+
+    if nat.available() and not _no_native():
+        d = nat.read_vars(path, [])
+        if d is not None and "time" in d:
+            return d["time"]
+    return open_nc(path).time
+
+
+def _no_native() -> bool:
+    return os.environ.get("NISWAN_NO_NATIVE_NC") == "1"
+
+
+def _read_family_vars(
+    path: str, names: List[str], *, levels: Optional[int] = None
+) -> Dict[str, np.ndarray]:
+    """Targeted read of ``names`` (+ decoded "time") from one day-file:
+    native partial reads when available (with ``levels`` restricting
+    level-dimensioned variables to their first k levels at the byte
+    level), full open_nc otherwise."""
+    from nasa_niswan_tpu.data import ncio_native as nat
+
+    if nat.available() and not _no_native():
+        d = nat.read_vars(path, names, levels=levels)
+        if d is not None:
+            return d
+    f = open_nc(path)
+    out = {n: f[n] for n in names}
+    out["time"] = f.time
+    f.close()
+    return out
+
+
 def load_time_index(root: str):
     """Datetime index over the whole tree (no-leap calendar converted to
     pandas datetimes, dataset.py:144-147)."""
-    import pandas as pd
-
     parts = []
     for path in list_velocity_files(root):
-        f = open_nc(path)
-        if f.time is None:
+        t = _read_time_axis(path)
+        if t is None:
             raise ValueError(f"velocity file {path} has no time coordinate")
-        parts.append(f.time)
+        parts.append(t)
     if not parts:
         raise FileNotFoundError(f"no velocity files under {root}")
     return parts[0].append(parts[1:]) if len(parts) > 1 else parts[0]
@@ -72,22 +107,24 @@ def read_day_fields(
     """
     sv = SPECIES_VARS[species]
     lev = (lambda a: a[:, 0]) if levels is None else (lambda a: a[:, :levels])
-    vel = open_day(root, date_yyyymmdd, "velocity")
-    pre = open_day(root, date_yyyymmdd, "precip")
-    src = open_day(root, date_yyyymmdd, sv.src_family)
-    trc = open_day(root, date_yyyymmdd, "tracer_conc")
-    fields = {
+    path = lambda fam: osp.join(root, daily_filename(date_yyyymmdd, fam))
+    # targeted reads: only the variables this species/config consumes
+    # (a taijlh1 file carries all three species' concentrations), and
+    # only the consumed levels (surface = 1 of 20)
+    nlev = 1 if levels is None else levels
+    vel = _read_family_vars(path("velocity"), ["u", "v", "omega"], levels=nlev)
+    pre = _read_family_vars(path("precip"), ["prec"])
+    src = _read_family_vars(path(sv.src_family), [sv.src_var])
+    trc = _read_family_vars(path("tracer_conc"), [sv.conc_var], levels=nlev)
+    return {
         "u": lev(vel["u"]).astype(np.float32),
         "v": lev(vel["v"]).astype(np.float32),
         "omega": lev(vel["omega"]).astype(np.float32),
         "prec": pre["prec"].astype(np.float32),
         "src": src[sv.src_var].astype(np.float32),
         "conc": lev(trc[sv.conc_var]).astype(np.float32),
-        "time": vel.time,
+        "time": vel["time"],
     }
-    for f in (vel, pre, src, trc):
-        f.close()
-    return fields
 
 
 class _DayCache:

@@ -348,6 +348,33 @@ int nc3_read(void* h, const char* name, uint64_t start, uint64_t count,
   return 0;
 }
 
+// Read records [start, start+count) of a variable, keeping only
+// axis-1 indices [lev_start, lev_start+lev_count) — the level slice of
+// a (time, level, lat, lon) field without touching the other levels'
+// bytes.  Requires ndim >= 2.  Returns 0 on success.
+int nc3_read_levels(void* h, const char* name, uint64_t start, uint64_t count,
+                    uint64_t lev_start, uint64_t lev_count, void* dst) {
+  File* f = static_cast<File*>(h);
+  auto it = f->var_index.find(name);
+  if (it == f->var_index.end()) return -1;
+  const Var& v = f->vars[it->second];
+  int es = type_size(v.type);
+  if (es == 0 || v.shape.size() < 2) return -2;
+  uint64_t inner = es;  // bytes below the level axis
+  for (size_t k = 2; k < v.shape.size(); k++) inner *= v.shape[k];
+  uint64_t lead = v.shape[0], nlev = v.shape[1];
+  if (start + count > lead || lev_start + lev_count > nlev) return -3;
+  uint64_t rec_stride = v.is_record ? f->recsize : nlev * inner;
+  uint8_t* out = static_cast<uint8_t*>(dst);
+  for (uint64_t r = 0; r < count; r++) {
+    uint64_t off = v.begin + (start + r) * rec_stride + lev_start * inner;
+    uint64_t nbytes = lev_count * inner;
+    if (off + nbytes > f->size) return -4;
+    swap_copy(out + r * nbytes, f->map + off, nbytes / es, es);
+  }
+  return 0;
+}
+
 const char* nc3_error(void* h) {
   File* f = static_cast<File*>(h);
   return f ? f->error.c_str() : "open failed";

@@ -48,6 +48,17 @@ def main():
 
         t_scipy = timeit(lambda: read_all(ncio._open_scipy))
         t_native = timeit(lambda: read_all(open_nc_native))
+
+        # the actual ingestion unit: one surface-species day via the
+        # targeted-read path (only the consumed variables)
+        from nasa_niswan_tpu.data.netcdf import load_time_index, read_day_fields
+
+        date = load_time_index(d)[0].strftime("%Y%m%d")
+        t_day = timeit(lambda: read_day_fields(d, date, "bcb"))
+        os.environ["NISWAN_NO_NATIVE_NC"] = "1"
+        t_day_scipy = timeit(lambda: read_day_fields(d, date, "bcb"))
+        del os.environ["NISWAN_NO_NATIVE_NC"]
+
         print(json.dumps({
             "day_files": len(paths),
             "total_MB": round(total_mb, 1),
@@ -55,6 +66,9 @@ def main():
             "native_ms": round(t_native * 1e3, 1),
             "speedup": round(t_scipy / t_native, 2),
             "native_GBps": round(total_mb / 1e3 / t_native, 2),
+            "day_fields_scipy_ms": round(t_day_scipy * 1e3, 1),
+            "day_fields_native_ms": round(t_day * 1e3, 1),
+            "day_fields_speedup": round(t_day_scipy / t_day, 2),
         }))
 
 

@@ -123,3 +123,83 @@ def test_non_nc3_returns_none(tmp_path):
         fh.write(b"\x89HDF\r\n\x1a\nrest")
     assert open_nc_native(p) is None
     assert read_var_slice(p, "a", 0, 1) is None
+
+
+def test_read_vars_targeted_and_level_slice(tmp_path):
+    """read_vars returns only the requested variables (+ decoded time),
+    and levels=k byte-slices level-dimensioned variables to their first
+    k levels — parity against the full scipy read."""
+    from nasa_niswan_tpu.data.ncio_native import read_vars
+
+    root = str(tmp_path / "t")
+    write_fixture_tree(root, days=1, steps_per_day=4, H=5, W=6, levels=3)
+    import glob
+
+    vel = sorted(glob.glob(root + "/*.aijlh1E33oma_ai.nc"))[0]
+    sp = ncio._open_scipy(vel)
+
+    d = read_vars(vel, ["u", "omega"], levels=2)
+    assert sorted(k for k in d if k != "time") == ["omega", "u"]
+    np.testing.assert_array_equal(d["u"], sp["u"][:, :2])
+    np.testing.assert_array_equal(d["omega"], sp["omega"][:, :2])
+    assert list(d["time"]) == list(sp.time)
+
+    # levels=None reads everything; non-level vars are untouched by levels
+    pre = sorted(glob.glob(root + "/*.cijh1E33oma_ai.nc"))[0]
+    spp = ncio._open_scipy(pre)
+    dp = read_vars(pre, ["prec"], levels=1)
+    np.testing.assert_array_equal(dp["prec"], spp["prec"])
+
+    # missing variable -> None (caller falls back to the full open)
+    assert read_vars(vel, ["nope"]) is None
+
+
+def test_read_vars_level_slice_record_layout(tmp_path):
+    """Level slicing must honor the record stride when time is UNLIMITED
+    (record-interleaved layout, the real ModelE case)."""
+    from scipy.io import netcdf_file
+
+    from nasa_niswan_tpu.data.ncio_native import read_vars
+
+    p = str(tmp_path / "rec.nc")
+    f = netcdf_file(p, "w")
+    f.createDimension("time", None)
+    f.createDimension("level", 4)
+    f.createDimension("lat", 3)
+    f.createDimension("lon", 5)
+    v = f.createVariable("u", "f", ("time", "level", "lat", "lon"))
+    w = f.createVariable("v", "f", ("time", "level", "lat", "lon"))
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal((6, 4, 3, 5)).astype(np.float32)
+    vv = rng.standard_normal((6, 4, 3, 5)).astype(np.float32)
+    for r in range(6):
+        v[r] = u[r]
+        w[r] = vv[r]
+    f.close()
+
+    d = read_vars(p, ["u", "v"], levels=2)
+    np.testing.assert_array_equal(d["u"], u[:, :2])
+    np.testing.assert_array_equal(d["v"], vv[:, :2])
+
+
+def test_read_day_fields_native_scipy_parity(tmp_path, monkeypatch):
+    """The ingestion unit itself: read_day_fields through the native
+    targeted-read path must equal the scipy full-open path, surface and
+    multi-level."""
+    from nasa_niswan_tpu.data.netcdf import load_time_index, read_day_fields
+
+    root = str(tmp_path / "t")
+    write_fixture_tree(root, days=1, steps_per_day=4, H=5, W=6, levels=3)
+    date = load_time_index(root)[0].strftime("%Y%m%d")
+
+    for levels in (None, 2):
+        nat = read_day_fields(root, date, "bcb", levels=levels)
+        monkeypatch.setenv("NISWAN_NO_NATIVE_NC", "1")
+        ref = read_day_fields(root, date, "bcb", levels=levels)
+        monkeypatch.delenv("NISWAN_NO_NATIVE_NC")
+        assert sorted(nat) == sorted(ref)
+        for k in ref:
+            if k == "time":
+                assert list(nat[k]) == list(ref[k])
+            else:
+                np.testing.assert_array_equal(nat[k], ref[k])
