@@ -63,6 +63,7 @@ def build_model(
     cell_impl: str = "xla",
     precompute_input_conv: bool = False,
     unet_features: Tuple[int, ...] = (64, 128, 256, 512),
+    pix2pix_features: int = 64,
     remat: bool = True,
 ) -> ModelBundle:
     """remat defaults True: training the canonical config (bs 8, T=48,
@@ -109,7 +110,7 @@ def build_model(
     # PIX2PIX: the reference trains the Generator alone with MSE+L1
     # (train.py:35-39,105); adversarial training is available via
     # models.pix2pix.discriminator_* for completeness.
-    cfg = GeneratorConfig(in_channels=in_channels)
+    cfg = GeneratorConfig(in_channels=in_channels, features=pix2pix_features)
 
     def init(rng):
         return generator_init(rng, cfg), None

@@ -24,6 +24,14 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 assert jax.device_count() == 8
 
+# Persistent compile cache: the suite is compile-bound on a 1-core host
+# (a small UNet graph alone costs ~1 min of XLA CPU compilation), and CI
+# reruns recompile identical programs.  No remote-compile tunnel on the
+# CPU backend, so the low threshold is safe (cf. utils/cache.py note).
+from nasa_niswan_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache(min_compile_secs=2.0)
+
 import numpy as np
 import pytest
 

@@ -72,8 +72,11 @@ def test_sequence_missing_static_raises():
 def test_build_model_unet_and_pix2pix_apply_shapes():
     import jax
 
-    for name, shape in (("UNet-t", (1, 32, 48, 2)), ("PIX2PIX-t", (1, 256, 256, 2))):
-        bundle = build_model(name, in_channels=2, unet_features=(2, 4, 8, 16))
+    # 128 = the pix2pix generator's minimum grid (7 stride-2 stages); tiny
+    # widths — the shape contract is architecture arithmetic, not capacity
+    for name, shape in (("UNet-t", (1, 32, 48, 2)), ("PIX2PIX-t", (1, 128, 128, 2))):
+        bundle = build_model(name, in_channels=2, unet_features=(2, 4, 8, 16),
+                             pix2pix_features=4)
         params, state = bundle.init(jax.random.PRNGKey(0))
         out, _ = bundle.apply(params, state, np.zeros(shape, np.float32))
         assert out.shape[:3] == shape[:3] and out.shape[-1] == 1

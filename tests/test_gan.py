@@ -34,8 +34,8 @@ def test_gan_step_updates_both_networks(rng):
     d_opt_t = make_optimizer(2e-4, (0.5, 0.999))
     step = make_gan_train_step(g_cfg, d_cfg, g_opt_t, d_opt_t)
 
-    x = rng.standard_normal((2, 256, 256, 2)).astype(np.float32)
-    y = rng.standard_normal((2, 256, 256, 1)).astype(np.float32)
+    x = rng.standard_normal((2, 128, 128, 2)).astype(np.float32)
+    y = rng.standard_normal((2, 128, 128, 1)).astype(np.float32)
     g2, d2, _, _, metrics = step(
         g_params, d_params, g_opt_t.init(g_params), d_opt_t.init(d_params),
         x, y, jax.random.PRNGKey(2),

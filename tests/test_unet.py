@@ -111,7 +111,9 @@ def test_unet_output_shape_canonical():
     [83:173, 56:200] from it)."""
     import jax
 
-    cfg = UNetConfig(in_channels=5)
+    # thin feature widths: the 256->256 spatial contract is pure
+    # architecture arithmetic (4 pools + 4 ups), independent of capacity
+    cfg = UNetConfig(in_channels=5, features=(4, 8, 16, 32))
     params, state = unet_init(jax.random.PRNGKey(0), cfg)
     x = np.zeros((1, 256, 256, 5), np.float32)
     out, _ = unet_apply(params, state, x, training=False)
