@@ -136,21 +136,28 @@ def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
         acc = xg_ref[0].reshape(th * wp, 4 * hidden).astype(jnp.float32)
     else:
         acc = jnp.zeros((th * wp, 4 * hidden), jnp.float32)
+    # The k row-tap slices don't depend on the column tap, so they fuse
+    # once into a contraction-deep operand (th*wp, k*C): lane-axis concat
+    # of aligned 128-lane slices (free relayout).  Each column tap dx is
+    # then ONE deep matmul against w[:, dx] flattened to (k*C, 4h) —
+    # k matmuls per cell instead of k*k shallow ones, which keeps the MXU
+    # pipeline fed (measured: the K=C-per-tap form spends ~half its time
+    # outside the systolic array at these shapes).
+    lhs_cat = jnp.concatenate(
+        [slab[dy * wp : dy * wp + th * wp] for dy in range(k)], axis=1
+    )
     for dx in range(k):
         # Column tap dx = a row shift of dx - p.  Rolling rows commutes
         # with a row-wise matmul, so instead of rolling the (possibly
         # bf16) input slab — Mosaic only implements rotates on 32-bit
-        # data — accumulate the tap's k row-slices unshifted and roll the
-        # f32 partial: roll(partial, p-dx)[i] = partial[i + dx - p]
+        # data — matmul the unshifted taps and roll the f32 partial:
+        # roll(partial, p-dx)[i] = partial[i + dx - p]
         # = sum_dy slab[dy*wp + i + dx - p] @ w[dy, dx].  Roll wraparound
         # touches only rows whose longitude column lies in the zero
         # margins (|dx-p| <= p <= o), which the output mask kills.
-        partial = jnp.zeros((th * wp, 4 * hidden), jnp.float32)
-        for dy in range(k):
-            lhs = slab[dy * wp : dy * wp + th * wp]  # aligned row slice
-            partial = partial + jnp.dot(
-                lhs, w_ref[dy, dx], preferred_element_type=jnp.float32
-            )
+        C_slab = slab.shape[-1]
+        w_dx = w_ref[:, dx].reshape(k * C_slab, 4 * hidden)
+        partial = jnp.dot(lhs_cat, w_dx, preferred_element_type=jnp.float32)
         shift = (p - dx) % (th * wp)
         acc = acc + (pltpu.roll(partial, shift, 0) if shift else partial)
 
