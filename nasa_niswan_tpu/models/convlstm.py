@@ -55,6 +55,9 @@ class ConvLSTMConfig:
     # (trade FLOPs for activation memory: O(1) stored activations per step
     # instead of every cell intermediate — enables long-T / 20-level
     # training within HBM)
+    bptt_bwd: str = "fused"  # pallas2+remat BPTT backward: "fused" (Pallas
+    # backward kernels, no forward replay — ops/convgrad_pallas.py) |
+    # "xla" (emit-gates replay + XLA conv grads, the round-2 strategy)
 
     def __post_init__(self):
         if len(self.hidden_channels) != len(self.kernel_sizes):
@@ -263,6 +266,7 @@ def convlstm_apply(
             w_valid,
             config.compute_dtype,
             config.scan_unroll,
+            config.bptt_bwd,
         )
         return _finish(
             final_state, None, params, config, compute_dtype,

@@ -65,6 +65,7 @@ def build_model(
     unet_features: Tuple[int, ...] = (64, 128, 256, 512),
     pix2pix_features: int = 64,
     remat: bool = True,
+    bptt_bwd: str = "fused",
 ) -> ModelBundle:
     """remat defaults True: training the canonical config (bs 8, T=48,
     100x154) OOMs a 16 GB chip without per-step rematerialization, and the
@@ -79,6 +80,7 @@ def build_model(
             compute_dtype=compute_dtype,
             cell_impl=cell_impl,
             remat=remat,
+            bptt_bwd=bptt_bwd,
         )
 
         def init(rng):

@@ -13,11 +13,16 @@ VJP wraps the ENTIRE multi-layer scan instead:
     step's INPUT carry as scan ys — residuals are (params, xs, state0,
     carry_stack), exactly the storage XLA's scan autodiff keeps for the
     rematerialized step;
-  * bwd: one reverse scan; per step it re-runs the fused kernel with
-    ``emit_gates`` to rebuild each layer's pre-activation gates
-    (transient), applies the hand-written elementwise backward
-    (convlstm_pallas2._elementwise_bwd), and routes the conv halves
-    through XLA's optimized conv grads.
+  * bwd: one reverse scan.  The default ``bwd_impl="fused"`` runs the
+    fused Pallas backward (ops/convgrad_pallas.py): ONE kernel per cell
+    recomputes the gates, applies the elementwise backward, and
+    accumulates dw/db — the gates never leave VMEM — plus a deep-tap
+    data-grad conv for dxh.  Each layer's forward input is recovered from
+    the stored state stack (layer l>0's input at step t IS layer l-1's
+    carry at step t+1), carried one step through the reverse scan — so
+    NO forward replay happens at all.  ``bwd_impl="xla"`` keeps the
+    round-2 strategy (emit-gates forward replay + XLA conv grads) as the
+    measured fallback/oracle.
 
 Net: pallas2 forward speed in BOTH directions, XLA-remat memory.
 Measured at canonical training shapes (B=8, T=48, 100x154->160, bf16,
@@ -70,14 +75,16 @@ def _cells_step(params, x_t, state, ks, o, w_valid, dt, emit: bool):
     return new_state, recs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def scan_cells_pallas2(params, xs, state0, ks, o, w_valid, dtype_str, unroll):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def scan_cells_pallas2(params, xs, state0, ks, o, w_valid, dtype_str, unroll,
+                       bwd_impl="fused"):
     """Forward scan over time through the fused cells; returns the final
     per-layer (h, c) carry (f32, padded-column layout).
 
     xs: (T, B, H, wp, C) compute-dtype frames in the margin layout;
-    state0: per-layer [(h, c)] f32.  ks/o/w_valid/dtype_str/unroll are
-    static (hashable).
+    state0: per-layer [(h, c)] f32.  ks/o/w_valid/dtype_str/unroll/
+    bwd_impl are static (hashable); bwd_impl: "fused" (Pallas backward
+    kernels) | "xla" (emit-gates replay + XLA conv grads).
     """
     dt = jnp.dtype(dtype_str)
 
@@ -89,7 +96,8 @@ def scan_cells_pallas2(params, xs, state0, ks, o, w_valid, dtype_str, unroll):
     return final
 
 
-def _scan_fwd(params, xs, state0, ks, o, w_valid, dtype_str, unroll):
+def _scan_fwd(params, xs, state0, ks, o, w_valid, dtype_str, unroll,
+              bwd_impl="fused"):
     dt = jnp.dtype(dtype_str)
 
     # stack each step's INPUT carry (f32) as we go — the same storage
@@ -100,11 +108,67 @@ def _scan_fwd(params, xs, state0, ks, o, w_valid, dtype_str, unroll):
         return new, carry
 
     final, state_stack = jax.lax.scan(rec, state0, xs, unroll=unroll)
-    return final, (params, xs, state0, state_stack)
+    return final, (params, xs, state0, state_stack, final)
 
 
-def _scan_bwd(ks, o, w_valid, dtype_str, unroll, res, d_final):
-    params, xs, state0, state_stack = res
+def _scan_bwd_fused(ks, o, w_valid, dt, unroll, params, xs, state_stack,
+                    final, d_final, zero_pgrads):
+    """Reverse scan with the fused Pallas backward kernels.  Layer l>0's
+    forward input at step t is layer l-1's carry h at step t+1 — available
+    as the PREVIOUS reverse iteration's state_in, carried through the scan
+    (seeded with the final carry).  No forward replay, no emitted gates."""
+    from nasa_niswan_tpu.ops.convgrad_pallas import cell_grads_pallas
+
+    L = len(ks)
+
+    def back(carry, inp):
+        d_state, d_params, state_next = carry
+        x_t, state_in = inp
+        d_state = [list(s) for s in d_state]
+        new_d = [None] * L
+        dxs_t = None
+        cells_g = list(d_params["cells"])
+        for li in reversed(range(L)):
+            inp_l = x_t if li == 0 else state_next[li - 1][0]
+            h_in, c_in = state_in[li]
+            dh, dc = d_state[li]
+            cell = params["cells"][li]
+            k = ks[li]
+            xh = jnp.concatenate([inp_l.astype(dt), h_in.astype(dt)], -1)
+            w = jnp.concatenate([cell["w_x"], cell["w_h"]], axis=2).astype(dt)
+            dxh, dc_prev, dw, db = cell_grads_pallas(
+                xh, c_in, dh, dc, w, cell["b"].astype(jnp.float32),
+                k, o, w_valid,
+            )
+            cin = inp_l.shape[-1]
+            g = cells_g[li]
+            cells_g[li] = {
+                "w_x": g["w_x"] + dw[:, :, :cin].astype(g["w_x"].dtype),
+                "w_h": g["w_h"] + dw[:, :, cin:].astype(g["w_h"].dtype),
+                "b": g["b"] + db.astype(g["b"].dtype),
+            }
+            din, dh_in = dxh[..., :cin], dxh[..., cin:]
+            if li > 0:
+                ph, pc = d_state[li - 1]
+                d_state[li - 1] = [ph + din, pc]
+            else:
+                dxs_t = din.astype(xs.dtype)
+            new_d[li] = (dh_in, dc_prev)
+        d_params = dict(d_params, cells=cells_g)
+        return (new_d, d_params, state_in), dxs_t
+
+    (d_state0, d_params, _), dxs = jax.lax.scan(
+        back,
+        (d_final, zero_pgrads, [tuple(s) for s in final]),
+        (xs, state_stack),
+        reverse=True,
+        unroll=unroll,
+    )
+    return d_params, dxs, d_state0
+
+
+def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, res, d_final):
+    params, xs, state0, state_stack, final = res
     dt = jnp.dtype(dtype_str)
     L = len(ks)
 
@@ -112,6 +176,11 @@ def _scan_bwd(ks, o, w_valid, dtype_str, unroll, res, d_final):
     d_final = jax.tree.map(
         lambda t: t.astype(jnp.float32), [tuple(s) for s in d_final]
     )
+    if bwd_impl == "fused":
+        return _scan_bwd_fused(
+            ks, o, w_valid, dt, unroll, params, xs, state_stack, final,
+            d_final, zero_pgrads,
+        )
 
     def back(carry, inp):
         d_state, d_params = carry

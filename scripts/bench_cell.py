@@ -175,12 +175,17 @@ def _bench_train(args):
         x_mean=np.zeros(5, np.float32), x_std=np.ones(5, np.float32),
         y_mean=0.0, y_std=1.0,
     )
+    variants = (
+        ("xla", dict(cell_impl="xla")),
+        ("pallas2", dict(cell_impl="pallas2")),  # fused Pallas backward
+        ("pallas2_xlabwd", dict(cell_impl="pallas2", bptt_bwd="xla")),
+    )
     for B in args.train_batches:
         row = {"train_batch": B}
-        for impl in ("xla", "pallas2"):
+        for impl, kw in variants:
             bundle = build_model(
                 "LSTM", in_channels=5, compute_dtype="bfloat16",
-                cell_impl=impl, remat=True,
+                remat=True, **kw,
             )
             params, state = bundle.init(jax.random.PRNGKey(0))
             opt = make_optimizer(1e-3, (0.9, 0.999))

@@ -299,3 +299,71 @@ def test_cell_impl_auto_resolution(rng, monkeypatch):
     x8 = jnp.asarray(rng.standard_normal((8, 2, 16, 24, 5)).astype(np.float32))
     mc.convlstm_apply(params, x8, auto)
     assert "pallas2" not in seen
+
+
+@pytest.mark.parametrize(
+    "B,H,W,C,hid,k",
+    [(1, 16, 24, 9, 8, 3), (2, 20, 28, 13, 16, 5), (1, 10, 12, 5, 4, 1)],
+)
+def test_cell_grads_pallas_matches_xla_vjp(rng, B, H, W, C, hid, k):
+    """The fused backward kernels (ops/convgrad_pallas.py) must reproduce
+    XLA autodiff through the margin-masked reference cell: dxh on the valid
+    columns (the Pallas path zeroes dxh margins — those cotangents feed
+    structurally-zero pad columns), dc/dw/db everywhere."""
+    from nasa_niswan_tpu.ops.convgrad_pallas import cell_grads_pallas
+
+    o = max(k // 2, 1)
+    xh, c, w, b, wp = _mk(rng, B, H, W, C, hid, k, o)
+    dh = rng.standard_normal((B, H, wp, hid)).astype(np.float32)
+    dc = rng.standard_normal((B, H, wp, hid)).astype(np.float32)
+
+    _, vjp = jax.vjp(
+        lambda xh_, c_, w_, b_: _cell_reference_v2(xh_, c_, w_, b_, k, o, W),
+        jnp.asarray(xh), jnp.asarray(c), jnp.asarray(w), jnp.asarray(b),
+    )
+    dxh_r, dc_r, dw_r, db_r = vjp((jnp.asarray(dh), jnp.asarray(dc)))
+
+    dxh_p, dc_p, dw_p, db_p = cell_grads_pallas(
+        jnp.asarray(xh), jnp.asarray(c), jnp.asarray(dh), jnp.asarray(dc),
+        jnp.asarray(w), jnp.asarray(b), k, o, W, interpret=True,
+    )
+    sl = np.s_[:, :, o : o + W]
+    np.testing.assert_allclose(
+        np.asarray(dxh_p)[sl], np.asarray(dxh_r)[sl], atol=2e-5
+    )
+    # dxh margins are hard zero (layout invariant)
+    assert np.all(np.asarray(dxh_p)[:, :, :o] == 0)
+    np.testing.assert_allclose(np.asarray(dc_p), np.asarray(dc_r), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_r), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_r), atol=2e-4)
+
+
+def test_bptt_bwd_impls_agree(rng):
+    """bptt_bwd='fused' (Pallas backward kernels) and 'xla' (emit-gates
+    replay + XLA conv grads) produce the same gradients through the full
+    model, and both match plain XLA autodiff."""
+    from nasa_niswan_tpu.models.convlstm import (
+        ConvLSTMConfig,
+        convlstm_apply,
+        convlstm_init,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 4, 16, 24, 5)).astype(np.float32))
+    base = ConvLSTMConfig(5, (4, 4), (5, 3), remat=True)
+    params = convlstm_init(jax.random.PRNGKey(0), base)
+
+    def grads(cfg):
+        return jax.grad(lambda p: jnp.sum(convlstm_apply(p, x, cfg) ** 2))(
+            params
+        )
+
+    g_ref = grads(base)
+    for impl in ("fused", "xla"):
+        cfg = ConvLSTMConfig(
+            5, (4, 4), (5, 3), cell_impl="pallas2", remat=True, bptt_bwd=impl
+        )
+        g = grads(cfg)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+            )
