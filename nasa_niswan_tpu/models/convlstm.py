@@ -62,6 +62,9 @@ class ConvLSTMConfig:
     def __post_init__(self):
         if len(self.hidden_channels) != len(self.kernel_sizes):
             raise ValueError("hidden_channels and kernel_sizes must align")
+        if self.bptt_bwd not in ("fused", "xla"):
+            raise ValueError(f"bptt_bwd must be 'fused' or 'xla', got "
+                             f"{self.bptt_bwd!r}")
 
     @property
     def num_layers(self) -> int:
@@ -251,9 +254,10 @@ def convlstm_apply(
         # Training path: ``jax.checkpoint`` cannot rematerialize through the
         # cell's custom VJP, so the per-cell residuals would stack across
         # the scan (~+3.5 GiB at canonical B=4; OOM at B=8).  The
-        # whole-scan BPTT keeps only (params, xs, state0) as residuals and
-        # replays the fused forward in its backward — XLA-remat memory at
-        # pallas2 speed (ops/convlstm_bptt.py).
+        # whole-scan BPTT keeps XLA-remat's storage (params, xs, per-step
+        # input carries) and backpropagates with the fused Pallas backward
+        # kernels — no forward replay (ops/convlstm_bptt.py; bptt_bwd="xla"
+        # selects the emit-gates-replay fallback).
         from nasa_niswan_tpu.ops.convlstm_bptt import scan_cells_pallas2
 
         xs_cat = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)

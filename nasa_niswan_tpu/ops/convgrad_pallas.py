@@ -45,39 +45,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nasa_niswan_tpu.ops.conv import conv2d
 from nasa_niswan_tpu.ops.convlstm_pallas2 import (
+    _build_slab,
+    _deep_tap_conv,
     _elementwise_bwd,
+    _lhs_cat,
     _margin_mask,
     _pick_row_tile,
     _round_up,
 )
-
-
-def _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles):
-    """Haloed, flattened (th+2p)*wp x C slab with domain edges zeroed
-    (rows beyond the grid are the conv's SAME zero padding)."""
-    C = cur_ref.shape[-1]
-    cur = cur_ref[0].reshape(th * wp, C)
-    if not p:
-        return cur
-    top = prev_ref[0, th - p :].reshape(p * wp, C)
-    top = jnp.where(ti == 0, jnp.zeros_like(top), top)
-    bot = next_ref[0, :p].reshape(p * wp, C)
-    bot = jnp.where(ti == n_tiles - 1, jnp.zeros_like(bot), bot)
-    return jnp.concatenate([top, cur, bot], axis=0)
-
-
-def _deep_tap_conv(lhs_cat, w_ref, k, th, wp, n_out):
-    """k contraction-deep matmuls + f32 partial rolls = the SAME conv of
-    the slab against w (same derivation as the forward kernel)."""
-    p = k // 2
-    acc = jnp.zeros((th * wp, n_out), jnp.float32)
-    kc = lhs_cat.shape[-1]
-    for dx in range(k):
-        w_dx = w_ref[:, dx].reshape(kc, n_out)
-        partial = jnp.dot(lhs_cat, w_dx, preferred_element_type=jnp.float32)
-        shift = (p - dx) % (th * wp)
-        acc = acc + (pltpu.roll(partial, shift, 0) if shift else partial)
-    return acc
 
 
 def _conv_same_kernel(prev_ref, cur_ref, next_ref, w_ref, out_ref, *,
@@ -86,11 +61,8 @@ def _conv_same_kernel(prev_ref, cur_ref, next_ref, w_ref, out_ref, *,
     n_tiles = pl.num_programs(1)
     p = k // 2
     slab = _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles)
-    lhs_cat = jnp.concatenate(
-        [slab[dy * wp : dy * wp + th * wp] for dy in range(k)], axis=1
-    )
     cout = out_ref.shape[-1]
-    acc = _deep_tap_conv(lhs_cat, w_ref, k, th, wp, cout)
+    acc = _deep_tap_conv(_lhs_cat(slab, k, th, wp), w_ref, k, th, wp, cout)
     out = acc.reshape(th, wp, cout)
     mask = _margin_mask(th, wp, cout, o, w_valid)
     out_ref[0] = jnp.where(mask, out, 0.0)
@@ -158,9 +130,7 @@ def _cell_bwd_kernel(prev_ref, cur_ref, next_ref, c_ref, dh_ref, dc_ref,
     first = jnp.logical_and(bi == 0, ti == 0)
 
     slab = _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles)
-    lhs_cat = jnp.concatenate(
-        [slab[dy * wp : dy * wp + th * wp] for dy in range(k)], axis=1
-    )
+    lhs_cat = _lhs_cat(slab, k, th, wp)
 
     # --- gates recompute (shared lhs_cat with the dw taps below)
     acc = _deep_tap_conv(lhs_cat, w_ref, k, th, wp, 4 * hidden)
@@ -209,13 +179,12 @@ def _cell_bwd_kernel(prev_ref, cur_ref, next_ref, c_ref, dh_ref, dc_ref,
 
 def _cell_bwd_reference(xh, c, dh, dc, w, b, k, o, w_valid):
     """Plain-XLA oracle / small-shape fallback: identical math."""
+    from nasa_niswan_tpu.ops.convlstm_pallas2 import _conv_grads
+
     gates = conv2d(xh, w, padding=k // 2) + b
     dgates32, dc_prev = _elementwise_bwd(gates, c, dh, dc, o, w_valid)
     dgates = dgates32.astype(xh.dtype)
-    _, lin_vjp = jax.vjp(
-        lambda xh_, w_: conv2d(xh_, w_, padding=k // 2), xh, w
-    )
-    _, dw = lin_vjp(dgates)
+    _, dw = _conv_grads(xh, w, dgates, k)
     db = dgates32.sum(axis=(0, 1, 2))
     return dgates, dc_prev, dw.astype(jnp.float32), db
 

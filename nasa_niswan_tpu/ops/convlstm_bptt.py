@@ -44,8 +44,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from nasa_niswan_tpu.ops.conv import conv2d
 from nasa_niswan_tpu.ops.convlstm_pallas2 import (
+    _conv_grads,
     _elementwise_bwd,
     fused_cell_forward_v2,
 )
@@ -181,6 +181,9 @@ def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, res, d_final):
             ks, o, w_valid, dt, unroll, params, xs, state_stack, final,
             d_final, zero_pgrads,
         )
+    if bwd_impl != "xla":
+        raise ValueError(f"bwd_impl must be 'fused' or 'xla', got "
+                         f"{bwd_impl!r}")
 
     def back(carry, inp):
         d_state, d_params = carry
@@ -203,10 +206,7 @@ def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, res, d_final):
             cell = params["cells"][li]
             w = jnp.concatenate([cell["w_x"], cell["w_h"]], axis=2).astype(dt)
             k = ks[li]
-            _, lin_vjp = jax.vjp(
-                lambda xh_, w_: conv2d(xh_, w_, padding=k // 2), xh, w
-            )
-            dxh, dw = lin_vjp(dgates)
+            dxh, dw = _conv_grads(xh, w, dgates, k)
             cin = inp_l.shape[-1]
             g = cells_g[li]
             cells_g[li] = {

@@ -89,6 +89,52 @@ def _margin_mask(th: int, wp: int, ch: int, o: int, w_valid: int):
     return (col >= o) & (col < o + w_valid)
 
 
+def _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles):
+    """Haloed, flattened ((th+2p)*wp, C) slab from the clamped neighbor-tile
+    blocks, with domain edges zeroed (rows beyond the grid are the conv's
+    SAME zero padding).  Shared by the forward and backward kernels — the
+    halo/margin invariant lives HERE only."""
+    C = cur_ref.shape[-1]
+    cur = cur_ref[0].reshape(th * wp, C)
+    if not p:
+        return cur
+    top = prev_ref[0, th - p :].reshape(p * wp, C)
+    top = jnp.where(ti == 0, jnp.zeros_like(top), top)
+    bot = next_ref[0, :p].reshape(p * wp, C)
+    bot = jnp.where(ti == n_tiles - 1, jnp.zeros_like(bot), bot)
+    return jnp.concatenate([top, cur, bot], axis=0)
+
+
+def _lhs_cat(slab, k, th, wp):
+    """Fuse the k row-tap slices into one contraction-deep (th*wp, k*C)
+    operand: lane-axis concat of aligned slices (free relayout when C is a
+    128-lane multiple)."""
+    return jnp.concatenate(
+        [slab[dy * wp : dy * wp + th * wp] for dy in range(k)], axis=1
+    )
+
+
+def _deep_tap_conv(lhs_cat, w_ref, k, th, wp, n_out):
+    """The SAME conv of the slab as k contraction-deep matmuls + f32
+    partial rolls.  Column tap dx = a row shift of dx - p; rolling rows
+    commutes with a row-wise matmul, so instead of rolling the (possibly
+    bf16) input slab — Mosaic only implements rotates on 32-bit data — each
+    tap is ONE deep matmul against w[:, dx] flattened to (k*C, n_out) and
+    the f32 partial is rolled: roll(partial, p-dx)[i] = partial[i + dx - p]
+    = sum_dy slab[dy*wp + i + dx - p] @ w[dy, dx].  Roll wraparound touches
+    only rows whose longitude column lies in the zero margins
+    (|dx-p| <= p <= o), which the caller's output mask kills."""
+    p = k // 2
+    acc = jnp.zeros((th * wp, n_out), jnp.float32)
+    kc = lhs_cat.shape[-1]
+    for dx in range(k):
+        w_dx = w_ref[:, dx].reshape(kc, n_out)
+        partial = jnp.dot(lhs_cat, w_dx, preferred_element_type=jnp.float32)
+        shift = (p - dx) % (th * wp)
+        acc = acc + (pltpu.roll(partial, shift, 0) if shift else partial)
+    return acc
+
+
 def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
                     w_valid: int, has_xg: bool, emit_gates: bool = False):
     """One (batch, row-tile) grid cell.
@@ -119,47 +165,15 @@ def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
     ti = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     p = k // 2
-    C = cur_ref.shape[-1]
 
-    # haloed slab, flattened (rows*wp, C) — aligned because wp % 8 == 0
-    cur = cur_ref[0].reshape(th * wp, C)
-    if p:
-        top = prev_ref[0, th - p :].reshape(p * wp, C)
-        top = jnp.where(ti == 0, jnp.zeros_like(top), top)
-        bot = next_ref[0, :p].reshape(p * wp, C)
-        bot = jnp.where(ti == n_tiles - 1, jnp.zeros_like(bot), bot)
-        slab = jnp.concatenate([top, cur, bot], axis=0)
-    else:
-        slab = cur
-
-    if has_xg:
-        acc = xg_ref[0].reshape(th * wp, 4 * hidden).astype(jnp.float32)
-    else:
-        acc = jnp.zeros((th * wp, 4 * hidden), jnp.float32)
-    # The k row-tap slices don't depend on the column tap, so they fuse
-    # once into a contraction-deep operand (th*wp, k*C): lane-axis concat
-    # of aligned 128-lane slices (free relayout).  Each column tap dx is
-    # then ONE deep matmul against w[:, dx] flattened to (k*C, 4h) —
-    # k matmuls per cell instead of k*k shallow ones, which keeps the MXU
+    slab = _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles)
+    # k matmuls per cell instead of k*k shallow ones keeps the MXU
     # pipeline fed (measured: the K=C-per-tap form spends ~half its time
     # outside the systolic array at these shapes).
-    lhs_cat = jnp.concatenate(
-        [slab[dy * wp : dy * wp + th * wp] for dy in range(k)], axis=1
-    )
-    for dx in range(k):
-        # Column tap dx = a row shift of dx - p.  Rolling rows commutes
-        # with a row-wise matmul, so instead of rolling the (possibly
-        # bf16) input slab — Mosaic only implements rotates on 32-bit
-        # data — matmul the unshifted taps and roll the f32 partial:
-        # roll(partial, p-dx)[i] = partial[i + dx - p]
-        # = sum_dy slab[dy*wp + i + dx - p] @ w[dy, dx].  Roll wraparound
-        # touches only rows whose longitude column lies in the zero
-        # margins (|dx-p| <= p <= o), which the output mask kills.
-        C_slab = slab.shape[-1]
-        w_dx = w_ref[:, dx].reshape(k * C_slab, 4 * hidden)
-        partial = jnp.dot(lhs_cat, w_dx, preferred_element_type=jnp.float32)
-        shift = (p - dx) % (th * wp)
-        acc = acc + (pltpu.roll(partial, shift, 0) if shift else partial)
+    acc = _deep_tap_conv(_lhs_cat(slab, k, th, wp), w_ref, k, th, wp,
+                         4 * hidden)
+    if has_xg:
+        acc = acc + xg_ref[0].reshape(th * wp, 4 * hidden).astype(jnp.float32)
 
     gates = (acc + b_ref[0].astype(jnp.float32)).reshape(th, wp, 4 * hidden)
     if g_out_ref is not None:
@@ -295,6 +309,15 @@ def _cell_reference_v2(xh, c, w, b, k, o, w_valid, xg=None, *,
     return h_new * mask, c_new * mask
 
 
+def _conv_grads(x, w, dgates, k):
+    """Cotangents (dx, dw) of the linear SAME conv through XLA's optimized
+    conv grads — the shared glue of every backward variant."""
+    _, lin_vjp = jax.vjp(
+        lambda x_, w_: conv2d(x_, w_, padding=k // 2), x, w
+    )
+    return lin_vjp(dgates)
+
+
 def _elementwise_bwd(gates, c, dh, dc, o, w_valid):
     """Hand-written backward of the gate nonlinearity + state update
     (model.py:221-229 math): output cotangents (dh', dc') -> pre-activation
@@ -339,11 +362,7 @@ def _v2_fwd(xh, c, w, b, k, o, w_valid):
 def _v2_bwd(k, o, w_valid, res, grads):
     xh, c, gates, w = res
     dgates32, dc_prev = _elementwise_bwd(gates, c, *grads, o, w_valid)
-    dgates = dgates32.astype(xh.dtype)
-    _, lin_vjp = jax.vjp(
-        lambda xh_, w_: conv2d(xh_, w_, padding=k // 2), xh, w
-    )
-    dxh, dw = lin_vjp(dgates)
+    dxh, dw = _conv_grads(xh, w, dgates32.astype(xh.dtype), k)
     db = dgates32.sum(axis=(0, 1, 2))
     return dxh, dc_prev, dw, db
 
@@ -367,10 +386,7 @@ def _v2_xg_bwd(k, o, w_valid, res, grads):
     h, c, gates, w_h = res
     dgates32, dc_prev = _elementwise_bwd(gates, c, *grads, o, w_valid)
     dgates = dgates32.astype(h.dtype)
-    _, lin_vjp = jax.vjp(
-        lambda h_, w_: conv2d(h_, w_, padding=k // 2), h, w_h
-    )
-    dh, dw_h = lin_vjp(dgates)
+    dh, dw_h = _conv_grads(h, w_h, dgates, k)
     db = dgates32.sum(axis=(0, 1, 2))
     # xg enters in the compute dtype (the hoisted conv's output == h.dtype)
     return dgates, dh, dc_prev, dw_h, db
