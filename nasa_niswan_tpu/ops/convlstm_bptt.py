@@ -111,51 +111,65 @@ def _scan_fwd(params, xs, state0, ks, o, w_valid, dtype_str, unroll,
     return final, (params, xs, state0, state_stack, final)
 
 
+def _cells_bwd_step(params, x_t, state_in, state_next, d_state, cells_g,
+                    ks, o, w_valid, dt):
+    """One reverse timestep through all layers with the fused Pallas
+    backward kernels.  Layer l>0's forward input is layer l-1's carry h at
+    the NEXT step (state_next).  Mutates/returns cells_g (accumulated cell
+    grads); returns (new_d per-layer (dh, dc) f32, d_x_t f32 full-frame).
+    Shared by the plain BPTT and the seq2seq feedback BPTT."""
+    from nasa_niswan_tpu.ops.convgrad_pallas import cell_grads_pallas
+
+    L = len(ks)
+    d_state = [list(s) for s in d_state]
+    new_d = [None] * L
+    dx_t = None
+    cells_g = list(cells_g)
+    for li in reversed(range(L)):
+        inp_l = x_t if li == 0 else state_next[li - 1][0]
+        h_in, c_in = state_in[li]
+        dh, dc = d_state[li]
+        cell = params["cells"][li]
+        k = ks[li]
+        xh = jnp.concatenate([inp_l.astype(dt), h_in.astype(dt)], -1)
+        w = jnp.concatenate([cell["w_x"], cell["w_h"]], axis=2).astype(dt)
+        dxh, dc_prev, dw, db = cell_grads_pallas(
+            xh, c_in, dh, dc, w, cell["b"].astype(jnp.float32),
+            k, o, w_valid,
+        )
+        cin = inp_l.shape[-1]
+        g = cells_g[li]
+        cells_g[li] = {
+            "w_x": g["w_x"] + dw[:, :, :cin].astype(g["w_x"].dtype),
+            "w_h": g["w_h"] + dw[:, :, cin:].astype(g["w_h"].dtype),
+            "b": g["b"] + db.astype(g["b"].dtype),
+        }
+        din, dh_in = dxh[..., :cin], dxh[..., cin:]
+        if li > 0:
+            ph, pc = d_state[li - 1]
+            d_state[li - 1] = [ph + din, pc]
+        else:
+            dx_t = din
+        new_d[li] = (dh_in, dc_prev)
+    return new_d, dx_t, cells_g
+
+
 def _scan_bwd_fused(ks, o, w_valid, dt, unroll, params, xs, state_stack,
                     final, d_final, zero_pgrads):
     """Reverse scan with the fused Pallas backward kernels.  Layer l>0's
     forward input at step t is layer l-1's carry h at step t+1 — available
     as the PREVIOUS reverse iteration's state_in, carried through the scan
     (seeded with the final carry).  No forward replay, no emitted gates."""
-    from nasa_niswan_tpu.ops.convgrad_pallas import cell_grads_pallas
-
-    L = len(ks)
 
     def back(carry, inp):
         d_state, d_params, state_next = carry
         x_t, state_in = inp
-        d_state = [list(s) for s in d_state]
-        new_d = [None] * L
-        dxs_t = None
-        cells_g = list(d_params["cells"])
-        for li in reversed(range(L)):
-            inp_l = x_t if li == 0 else state_next[li - 1][0]
-            h_in, c_in = state_in[li]
-            dh, dc = d_state[li]
-            cell = params["cells"][li]
-            k = ks[li]
-            xh = jnp.concatenate([inp_l.astype(dt), h_in.astype(dt)], -1)
-            w = jnp.concatenate([cell["w_x"], cell["w_h"]], axis=2).astype(dt)
-            dxh, dc_prev, dw, db = cell_grads_pallas(
-                xh, c_in, dh, dc, w, cell["b"].astype(jnp.float32),
-                k, o, w_valid,
-            )
-            cin = inp_l.shape[-1]
-            g = cells_g[li]
-            cells_g[li] = {
-                "w_x": g["w_x"] + dw[:, :, :cin].astype(g["w_x"].dtype),
-                "w_h": g["w_h"] + dw[:, :, cin:].astype(g["w_h"].dtype),
-                "b": g["b"] + db.astype(g["b"].dtype),
-            }
-            din, dh_in = dxh[..., :cin], dxh[..., cin:]
-            if li > 0:
-                ph, pc = d_state[li - 1]
-                d_state[li - 1] = [ph + din, pc]
-            else:
-                dxs_t = din.astype(xs.dtype)
-            new_d[li] = (dh_in, dc_prev)
+        new_d, dx_t, cells_g = _cells_bwd_step(
+            params, x_t, state_in, state_next, d_state, d_params["cells"],
+            ks, o, w_valid, dt,
+        )
         d_params = dict(d_params, cells=cells_g)
-        return (new_d, d_params, state_in), dxs_t
+        return (new_d, d_params, state_in), dx_t.astype(xs.dtype)
 
     (d_state0, d_params, _), dxs = jax.lax.scan(
         back,

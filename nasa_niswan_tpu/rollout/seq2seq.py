@@ -125,6 +125,49 @@ def _make_forward_chunk(
         ys = jnp.moveaxis(yn, 1, 0)  # (T, B, h, w)
         draws = jax.random.bernoulli(rng, teacher_prob, (T, B))
 
+        # the pallas2+remat resolution (mirrors convlstm_apply's auto rule):
+        # the fused cells + whole-chunk BPTT store one carry copy per step
+        # (vs ~3 for per-step T=1 custom VJPs) and backprop through the
+        # fused Pallas backward kernels
+        impl = config.cell_impl
+        if impl == "auto":
+            impl = (
+                "pallas2"
+                if B <= 4 and jax.default_backend() == "tpu"
+                else "xla"
+            )
+        if impl == "pallas2" and config.remat:
+            from nasa_niswan_tpu.ops.convlstm_pallas2 import (
+                col_margin,
+                pad_cols,
+                padded_cols,
+            )
+            from nasa_niswan_tpu.ops.seq2seq_bptt import scan_seq2seq_pallas2
+
+            dt = jnp.dtype(config.compute_dtype)
+            o2 = col_margin(config.kernel_sizes)
+            wp = padded_cols(W, o2)
+            xs_m = pad_cols(xs.astype(dt), o2, wp)  # (T, B, H, wp, C-1)
+            state0 = [
+                (
+                    jnp.zeros((B, H, wp, hc), jnp.float32),
+                    jnp.zeros((B, H, wp, hc), jnp.float32),
+                )
+                for hc in config.hidden_channels
+            ]
+            _, preds = scan_seq2seq_pallas2(
+                params, xs_m, prev0n, ys, draws.astype(jnp.float32), state0,
+                tuple(config.kernel_sizes), o2, W, config.compute_dtype,
+                padded_shape, grid_shape, config.scan_unroll,
+            )
+            err = ys - preds
+            # identical to the per-step mean-of-means below (equal-size steps)
+            loss = jnp.mean(err**2) + jnp.mean(jnp.abs(err))
+            flat_y, flat_p = ys.reshape(-1), preds.reshape(-1)
+            ss_res = jnp.sum((flat_y - flat_p) ** 2)
+            ss_tot = jnp.sum((flat_y - jnp.mean(flat_y)) ** 2)
+            return loss, 1.0 - ss_res / ss_tot
+
         state = [
             (
                 jnp.zeros((B, H, W, hc), jnp.float32),

@@ -71,3 +71,46 @@ def test_teacher_prob_extremes_differ(data):
     _, _, m1 = step(params, opt.init(params), *batch, rng, 1.0)
     _, _, m0 = step(params, opt.init(params), *batch, rng, 0.0)
     assert float(m1["loss"]) != pytest.approx(float(m0["loss"]), rel=1e-6)
+
+
+def test_seq2seq_fused_bptt_matches_xla(data):
+    """The whole-chunk fused BPTT (ops/seq2seq_bptt.py — the pallas2+remat
+    path of _make_forward_chunk) must produce the same loss/R2 AND the same
+    parameter gradients as XLA autodiff through the plain per-step scan,
+    with identical scheduled-sampling draws (shared rng)."""
+    import jax.numpy as jnp
+
+    from nasa_niswan_tpu.data.dataset import Normalizer
+    from nasa_niswan_tpu.rollout.seq2seq import _make_forward_chunk
+
+    rng = np.random.default_rng(7)
+    B, T = 2, 4
+    x = jnp.asarray(rng.standard_normal((B, T, 5, *GRID)).astype(np.float32))
+    prev0 = jnp.asarray(rng.standard_normal((B, *GRID)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, T, *GRID)).astype(np.float32))
+    norm = Normalizer(
+        x_mean=np.zeros(5, np.float32), x_std=np.ones(5, np.float32),
+        y_mean=0.0, y_std=1.0,
+    )
+    base = ConvLSTMConfig(6, (4, 4), (5, 3))
+    fused = ConvLSTMConfig(6, (4, 4), (5, 3), cell_impl="pallas2", remat=True)
+    params = convlstm_init(jax.random.PRNGKey(0), base)
+    key = jax.random.PRNGKey(3)
+
+    def run(cfg, teacher_prob):
+        fc = _make_forward_chunk(
+            cfg, norm, padded_shape=PADDED, grid_shape=GRID
+        )
+        return jax.value_and_grad(
+            lambda p: fc(p, x, prev0, y, key, teacher_prob), has_aux=True
+        )(params)
+
+    for tp in (0.5, 0.0, 1.0):
+        (l1, r1), g1 = run(base, tp)
+        (l2, r2), g2 = run(fused, tp)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        np.testing.assert_allclose(float(r1), float(r2), rtol=1e-4, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+            )
