@@ -367,3 +367,35 @@ def test_bptt_bwd_impls_agree(rng):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
             )
+
+
+def test_bptt_fused_bwd_bf16_smoke(rng):
+    """bf16 compute through the fused backward: grads finite and directionally
+    consistent with the f32 path (loose tolerance — bf16 has ~3 decimal
+    digits; this pins the dtype plumbing, not the numerics)."""
+    from nasa_niswan_tpu.models.convlstm import (
+        ConvLSTMConfig,
+        convlstm_apply,
+        convlstm_init,
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 3, 16, 24, 5)).astype(np.float32))
+    params = convlstm_init(
+        jax.random.PRNGKey(0), ConvLSTMConfig(5, (4,), (3,))
+    )
+
+    def grads(dtype):
+        cfg = ConvLSTMConfig(
+            5, (4,), (3,), cell_impl="pallas2", remat=True,
+            compute_dtype=dtype,
+        )
+        return jax.grad(lambda p: jnp.sum(convlstm_apply(p, x, cfg) ** 2))(
+            params
+        )
+
+    g16, g32 = grads("bfloat16"), grads("float32")
+    for a, b in zip(jax.tree.leaves(g16), jax.tree.leaves(g32)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 0.1
