@@ -69,12 +69,17 @@ def _conv_same_kernel(prev_ref, cur_ref, next_ref, w_ref, out_ref, *,
 
 
 def conv_same_v2(x, w2, k: int, o: int, w_valid: int, *,
-                 interpret: bool | None = None, th_max: int = 10):
+                 interpret: bool | None = None, th_max: int = 5):
     """SAME convolution in the padded-column layout via deep-tap matmuls.
 
     x: (B, H, wp, Cin) with hard-zero column margins outside [o, o+w_valid);
     w2: (k, k, Cin, Cout).  Returns (B, H, wp, Cout) f32, margins zeroed.
     With w2 = flip(w, (0,1)).swapaxes(2,3) this is the conv data gradient.
+
+    th_max=5 keeps VMEM comfortably under the ~16 MB/core budget with
+    double-buffered input blocks at the canonical backward shapes; total
+    matmul FLOPs are tile-size-independent (only the slab-copy halo
+    fraction grows), so the smaller tile costs little.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
