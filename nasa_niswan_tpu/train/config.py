@@ -40,7 +40,10 @@ class TrainConfig:
     restore_from: str = "./snapshots"
     # --- TPU-native settings ---
     compute_dtype: str = "float32"  # "bfloat16" for MXU-native training
-    cell_impl: str = "xla"  # "xla" | "pallas" | "pallas2" (fused TPU kernel)
+    cell_impl: str = "auto"  # "auto" resolves per traced batch/backend to
+    # the measured winner (fused pallas2 kernels at B<=4 on TPU — serving
+    # AND training via the fused BPTT backward — xla elsewhere, incl. CPU);
+    # "xla" | "pallas" | "pallas2" force an implementation
     precompute_input_conv: bool = False
     seed: int = 0
     data_path: Optional[str] = None  # packed npz; None -> synthetic fixture
