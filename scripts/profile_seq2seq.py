@@ -70,7 +70,21 @@ def main():
         cfg, norm, opt, padded_shape=PADDED, grid_shape=GRID
     )
     out["step_s"] = round(timed(step), 4)
-    print(json.dumps({"baseline": out["step_s"]}), flush=True)
+    print(json.dumps({"baseline_xla": out["step_s"]}), flush=True)
+
+    # fused whole-chunk BPTT (ops/seq2seq_bptt.py): pallas2 cells + the
+    # fused Pallas backward, one custom VJP over the entire feedback chunk
+    import dataclasses
+
+    cfg_p2 = dataclasses.replace(cfg, cell_impl="pallas2")
+    step_p2 = seq2seq.make_seq2seq_train_step(
+        cfg_p2, norm, opt, padded_shape=PADDED, grid_shape=GRID
+    )
+    out["step_fused_s"] = round(timed(step_p2), 4)
+    print(json.dumps({
+        "fused_bptt": out["step_fused_s"],
+        "speedup_vs_xla": round(out["step_s"] / out["step_fused_s"], 3),
+    }), flush=True)
 
     # ablation: feedback pad replaced by a static slice-free broadcast pad
     real_pad = seq2seq.pad_geo
@@ -92,9 +106,11 @@ def main():
         seq2seq.pad_geo = real_pad
     print(json.dumps({
         "B": B, "T": T, "step_s": out["step_s"],
+        "step_fused_s": out["step_fused_s"],
         "step_zero_pad_s": out["step_nopad_s"],
         "pad_share": round(1 - out["step_nopad_s"] / out["step_s"], 4),
         "ms_per_scan_step": round(out["step_s"] / T * 1e3, 3),
+        "ms_per_scan_step_fused": round(out["step_fused_s"] / T * 1e3, 3),
     }))
 
 
