@@ -93,6 +93,23 @@ def convlstm_init(rng: jax.Array, config: ConvLSTMConfig) -> Params:
     return {"cells": cells, "head": {"w": head_w, "b": head_b}}
 
 
+def vary_like(tree, ref) -> Any:
+    """Mark every leaf of ``tree`` as varying over the manual mesh axes of
+    ``ref`` (shard_map varying-manual-axes typing): freshly created zeros are
+    unvarying, which breaks scan-carry type agreement when the carry output
+    is computed from sharded data.  No-op outside shard_map."""
+    vma = tuple(getattr(jax.typeof(ref), "vma", ()) or ())
+    if not vma:
+        return tree
+
+    def fix(z):
+        have = tuple(getattr(jax.typeof(z), "vma", ()) or ())
+        need = tuple(a for a in vma if a not in have)
+        return jax.lax.pcast(z, need, to="varying") if need else z
+
+    return jax.tree.map(fix, tree)
+
+
 def gate_update(
     gates: jnp.ndarray, c: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -219,13 +236,16 @@ def convlstm_apply(
         cell_step = _cell_step_xla
 
     if initial_state is None:
-        state = [
-            (
-                jnp.zeros((B, H, W, hc), jnp.float32),
-                jnp.zeros((B, H, W, hc), jnp.float32),
-            )
-            for hc in config.hidden_channels
-        ]
+        state = vary_like(
+            [
+                (
+                    jnp.zeros((B, H, W, hc), jnp.float32),
+                    jnp.zeros((B, H, W, hc), jnp.float32),
+                )
+                for hc in config.hidden_channels
+            ],
+            x_parts[0],
+        )
     else:
         state = [tuple(s) for s in initial_state]
         if pallas2 and state[0][0].shape[2] == w_valid:

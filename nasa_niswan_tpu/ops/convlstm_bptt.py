@@ -186,9 +186,16 @@ def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, res, d_final):
     dt = jnp.dtype(dtype_str)
     L = len(ks)
 
-    zero_pgrads = jax.tree.map(jnp.zeros_like, params)
-    d_final = jax.tree.map(
-        lambda t: t.astype(jnp.float32), [tuple(s) for s in d_final]
+    from nasa_niswan_tpu.models.convlstm import vary_like
+
+    # under shard_map the grad accumulators must carry the data's varying
+    # axes or the reverse scan's carry types disagree (zeros are unvarying)
+    zero_pgrads = vary_like(jax.tree.map(jnp.zeros_like, params), xs)
+    d_final = vary_like(
+        jax.tree.map(
+            lambda t: t.astype(jnp.float32), [tuple(s) for s in d_final]
+        ),
+        xs,
     )
     if bwd_impl == "fused":
         return _scan_bwd_fused(

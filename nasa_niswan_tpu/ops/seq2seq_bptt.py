@@ -141,11 +141,18 @@ def _s2s_bwd(ks, o, w_valid, dtype_str, padded_shape, grid_shape, unroll,
         [prev0n[None], sel * ysn[:-1] + (1.0 - sel) * preds[:-1]], axis=0
     )
 
-    zero_pgrads = jax.tree.map(jnp.zeros_like, params)
-    d_final = jax.tree.map(
-        lambda t: t.astype(jnp.float32), [tuple(s) for s in d_final]
+    from nasa_niswan_tpu.models.convlstm import vary_like
+
+    zero_pgrads = vary_like(jax.tree.map(jnp.zeros_like, params), xs)
+    d_final = vary_like(
+        jax.tree.map(
+            lambda t: t.astype(jnp.float32), [tuple(s) for s in d_final]
+        ),
+        xs,
     )
-    d_fb_T = jnp.zeros_like(prev0n)  # the last blend's output is dropped
+    # the last blend's output is dropped (unvarying zeros break shard_map
+    # scan-carry typing — mark like the data)
+    d_fb_T = vary_like(jnp.zeros_like(prev0n), xs)
 
     def back(carry, inp):
         d_state, d_fb_next, d_params, state_next = carry

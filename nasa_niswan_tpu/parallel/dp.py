@@ -80,6 +80,100 @@ def make_dp_eval_step(
     )
 
 
+def make_dp_train_step_shardmap(
+    bundle: ModelBundle,
+    normalizer: Normalizer,
+    optimizer,
+    mesh: Mesh,
+    *,
+    padded_shape: Optional[Tuple[int, int]],
+    grid_shape: Tuple[int, int] = (90, 144),
+    static: Optional[np.ndarray] = None,
+):
+    """Manual shard_map DP step — the path that lets multi-chip training use
+    the fused Pallas kernels.
+
+    GSPMD treats a ``pallas_call`` as opaque, so under ``make_dp_train_step``
+    the fused pallas2 cell (and its fused BPTT backward) cannot run sharded;
+    the traced batch is also the GLOBAL batch, so ``cell_impl="auto"``
+    resolves against B_global even though each chip only holds B/n_dp.
+    Here each device runs the per-shard forward/backward on its LOCAL batch
+    (auto resolves per-chip — e.g. global B=8 over dp=8 is per-chip B=1, the
+    fused kernels' best case), gradients and the loss are ``pmean``-reduced
+    over "dp" (exact: the global-batch mean decomposes across equal shards),
+    R² is rebuilt from psum'd sufficient statistics (its global form does
+    NOT decompose as a mean of shard R²s), and the replicated optimizer
+    update runs identically on every device.
+
+    Numerics match ``make_dp_train_step`` to f32 reduction-order tolerance
+    (tests/test_parallel.py).
+    """
+    import jax.numpy as jnp
+    import optax
+
+    from nasa_niswan_tpu.data.dataset import zscore_static
+    from nasa_niswan_tpu.train.loop import (
+        _device_preprocess,
+        _forward_cropped,
+    )
+
+    static_z = None if static is None else zscore_static(static)
+
+    def loss_fn(params, state, x, y, rng):
+        pred, new_state = _forward_cropped(
+            bundle, params, state, x, grid_shape, training=True, rng=rng
+        )
+        loss = jnp.mean((y - pred) ** 2) + jnp.mean(jnp.abs(y - pred))
+        return loss, (pred, new_state)
+
+    def shard_body(params, state, opt_state, x_raw, y_raw, rng):
+        x, y = _device_preprocess(x_raw, y_raw, normalizer, padded_shape,
+                                  static_z)
+        (loss, (pred, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, state, x, y, rng)
+        # check_vma=False (below) selects shard_map's classic manual
+        # semantics: autodiff returns the shard-LOCAL gradient for every
+        # path (plain autodiff AND the fused-BPTT custom VJP alike), and
+        # the global-batch mean gradient is the explicit pmean — the
+        # classic DP allreduce.  (Under check_vma=True the two paths
+        # disagree: plain autodiff implicitly psums cotangents of
+        # replicated params, a custom VJP does not.)
+        grads = jax.lax.pmean(grads, "dp")
+        loss = jax.lax.pmean(loss, "dp")
+        # global-batch R² from psum'd sufficient statistics (sklearn
+        # semantics on the concatenated batch, matching the GSPMD step)
+        yf, pf = jnp.ravel(y), jnp.ravel(pred)
+        n = jax.lax.psum(jnp.float32(yf.size), "dp")
+        s_y = jax.lax.psum(jnp.sum(yf), "dp")
+        s_y2 = jax.lax.psum(jnp.sum(yf * yf), "dp")
+        ss_res = jax.lax.psum(jnp.sum((yf - pf) ** 2), "dp")
+        ss_tot = s_y2 - s_y * s_y / n
+        r2v = 1.0 - ss_res / ss_tot
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, {"loss": loss, "r2": r2v}
+
+    # state is None for the ConvLSTM family (the intended user — the fused
+    # kernels are its serving/training path); a stateful model whose state
+    # varies per shard (UNet BN stats) fails shard_map's replication check
+    # loudly instead of training on silently diverged statistics.
+    rep, batch = P(), P("dp")
+    # check_vma=False for the same reason as the sharded pallas2 rollout
+    # (parallel/spatial.py): interpret-mode pallas_call block indexing
+    # mixes varying operands with unvarying grid indices, which the vma
+    # checker rejects; numerics are pinned by the GSPMD-parity tests.
+    return jax.jit(
+        jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, batch, batch, rep),
+            out_specs=(rep, rep, rep, rep),
+            check_vma=False,
+        )
+    )
+
+
 def fit_data_parallel(
     bundle: ModelBundle,
     train_dataset,
