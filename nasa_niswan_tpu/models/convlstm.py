@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from nasa_niswan_tpu.models.init import torch_conv_init
 from nasa_niswan_tpu.ops.conv import conv2d
+from nasa_niswan_tpu.ops.vma import vary_like
 
 Params = Dict[str, Any]
 
@@ -91,23 +92,6 @@ def convlstm_init(rng: jax.Array, config: ConvLSTMConfig) -> Params:
         head_rng, 1, 1, config.hidden_channels[-1], config.out_channels, bias=True
     )
     return {"cells": cells, "head": {"w": head_w, "b": head_b}}
-
-
-def vary_like(tree, ref) -> Any:
-    """Mark every leaf of ``tree`` as varying over the manual mesh axes of
-    ``ref`` (shard_map varying-manual-axes typing): freshly created zeros are
-    unvarying, which breaks scan-carry type agreement when the carry output
-    is computed from sharded data.  No-op outside shard_map."""
-    vma = tuple(getattr(jax.typeof(ref), "vma", ()) or ())
-    if not vma:
-        return tree
-
-    def fix(z):
-        have = tuple(getattr(jax.typeof(z), "vma", ()) or ())
-        need = tuple(a for a in vma if a not in have)
-        return jax.lax.pcast(z, need, to="varying") if need else z
-
-    return jax.tree.map(fix, tree)
 
 
 def gate_update(

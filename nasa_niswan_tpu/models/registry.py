@@ -51,6 +51,10 @@ class ModelBundle:
     is_sequence: bool
     init: Callable[[jax.Array], Tuple[Any, Any]]
     apply: Callable[..., Tuple[Any, Any]]
+    # re-invokes build_model with the original arguments plus overrides —
+    # lets mesh-step builders force a safe cell implementation (e.g. the
+    # GSPMD partitioner cannot split a pallas_call)
+    rebuild: Callable[..., "ModelBundle"] = None
 
 
 def build_model(
@@ -70,6 +74,17 @@ def build_model(
     """remat defaults True: training the canonical config (bs 8, T=48,
     100x154) OOMs a 16 GB chip without per-step rematerialization, and the
     recompute cost is minor next to the conv FLOPs."""
+    _kwargs = dict(
+        in_channels=in_channels, hidden_channels=hidden_channels,
+        kernel_sizes=kernel_sizes, compute_dtype=compute_dtype,
+        cell_impl=cell_impl, precompute_input_conv=precompute_input_conv,
+        unet_features=unet_features, pix2pix_features=pix2pix_features,
+        remat=remat, bptt_bwd=bptt_bwd,
+    )
+
+    def _rebuild(**overrides):
+        return build_model(model_name, **{**_kwargs, **overrides})
+
     family = model_family(model_name)
 
     if family == "LSTM":
@@ -95,7 +110,7 @@ def build_model(
                 None,
             )
 
-        return ModelBundle("LSTM", cfg, True, init, apply)
+        return ModelBundle("LSTM", cfg, True, init, apply, _rebuild)
 
     if family == "UNet":
         cfg = UNetConfig(in_channels=in_channels, features=tuple(unet_features))
@@ -107,7 +122,7 @@ def build_model(
             del rng
             return unet_apply(params, state, x, training=training)
 
-        return ModelBundle("UNet", cfg, False, init, apply)
+        return ModelBundle("UNet", cfg, False, init, apply, _rebuild)
 
     # PIX2PIX: the reference trains the Generator alone with MSE+L1
     # (train.py:35-39,105); adversarial training is available via
@@ -123,4 +138,4 @@ def build_model(
             None,
         )
 
-    return ModelBundle("PIX2PIX", cfg, False, init, apply)
+    return ModelBundle("PIX2PIX", cfg, False, init, apply, _rebuild)

@@ -49,6 +49,7 @@ from nasa_niswan_tpu.ops.convlstm_pallas2 import (
     _elementwise_bwd,
     fused_cell_forward_v2,
 )
+from nasa_niswan_tpu.ops.vma import vary_like
 
 
 def _cells_step(params, x_t, state, ks, o, w_valid, dt, emit: bool):
@@ -185,8 +186,6 @@ def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, res, d_final):
     params, xs, state0, state_stack, final = res
     dt = jnp.dtype(dtype_str)
     L = len(ks)
-
-    from nasa_niswan_tpu.models.convlstm import vary_like
 
     # under shard_map the grad accumulators must carry the data's varying
     # axes or the reverse scan's carry types disagree (zeros are unvarying)

@@ -39,6 +39,7 @@ from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
 from nasa_niswan_tpu.ops.conv import conv2d
 from nasa_niswan_tpu.ops.convlstm_bptt import _cells_bwd_step, _cells_step
 from nasa_niswan_tpu.ops.convlstm_pallas2 import pad_cols
+from nasa_niswan_tpu.ops.vma import vary_like
 
 
 def _fb_to_margin(fb, padded_shape, o, wp):
@@ -140,8 +141,6 @@ def _s2s_bwd(ks, o, w_valid, dtype_str, padded_shape, grid_shape, unroll,
     fb_seq = jnp.concatenate(
         [prev0n[None], sel * ysn[:-1] + (1.0 - sel) * preds[:-1]], axis=0
     )
-
-    from nasa_niswan_tpu.models.convlstm import vary_like
 
     zero_pgrads = vary_like(jax.tree.map(jnp.zeros_like, params), xs)
     d_final = vary_like(

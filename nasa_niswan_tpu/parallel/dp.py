@@ -28,6 +28,33 @@ from nasa_niswan_tpu.train.loop import (
 )
 
 
+def gspmd_safe_bundle(bundle: ModelBundle, *, force: bool = False) -> ModelBundle:
+    """Resolve the bundle to an implementation GSPMD can partition.
+
+    A ``pallas_call`` is opaque to the SPMD partitioner, so a pjit/GSPMD
+    step must never trace the fused Pallas cell: ``cell_impl="auto"``
+    (which would otherwise resolve per traced batch, picking pallas2 at
+    B<=4 on TPU) is pinned to the XLA cell here.  An explicitly forced
+    Pallas impl is rejected loudly — use the manual shard_map paths
+    (make_dp_train_step_shardmap, make_sharded_rollout_fn) for those —
+    unless ``force`` (the eval path, where the XLA cell is numerically
+    equivalent and the caller composes train=shard_map with eval=GSPMD).
+    """
+    impl = getattr(bundle.config, "cell_impl", None)
+    if impl is None:
+        return bundle
+    if impl == "auto" or (force and impl.startswith("pallas")):
+        return bundle.rebuild(cell_impl="xla")
+    if impl.startswith("pallas"):
+        raise ValueError(
+            f"cell_impl={impl!r} cannot run under a GSPMD step (pallas_call "
+            "is opaque to the partitioner); pass cell_impl='xla' or use the "
+            "manual shard_map paths (make_dp_train_step_shardmap, "
+            "make_sharded_rollout_fn)"
+        )
+    return bundle
+
+
 def dp_shardings(mesh: Mesh, x_ndim: int):
     """(batch, replicated) NamedShardings for raw (B, ...) arrays."""
     batch = NamedSharding(mesh, P("dp"))
@@ -46,8 +73,8 @@ def make_dp_train_step(
     static: Optional[np.ndarray] = None,
 ):
     fn = build_train_step_fn(
-        bundle, normalizer, optimizer, padded_shape=padded_shape,
-        grid_shape=grid_shape, static=static,
+        gspmd_safe_bundle(bundle), normalizer, optimizer,
+        padded_shape=padded_shape, grid_shape=grid_shape, static=static,
     )
     batch = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
@@ -68,8 +95,8 @@ def make_dp_eval_step(
     static: Optional[np.ndarray] = None,
 ):
     fn = build_eval_step_fn(
-        bundle, normalizer, padded_shape=padded_shape, grid_shape=grid_shape,
-        static=static,
+        gspmd_safe_bundle(bundle, force=True), normalizer,
+        padded_shape=padded_shape, grid_shape=grid_shape, static=static,
     )
     batch = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
@@ -112,23 +139,17 @@ def make_dp_train_step_shardmap(
     import optax
 
     from nasa_niswan_tpu.data.dataset import zscore_static
-    from nasa_niswan_tpu.train.loop import (
-        _device_preprocess,
-        _forward_cropped,
-    )
+    from nasa_niswan_tpu.train.loop import _device_preprocess, make_loss_fn
 
     static_z = None if static is None else zscore_static(static)
-
-    def loss_fn(params, state, x, y, rng):
-        pred, new_state = _forward_cropped(
-            bundle, params, state, x, grid_shape, training=True, rng=rng
-        )
-        loss = jnp.mean((y - pred) ** 2) + jnp.mean(jnp.abs(y - pred))
-        return loss, (pred, new_state)
+    loss_fn = make_loss_fn(bundle, grid_shape)
 
     def shard_body(params, state, opt_state, x_raw, y_raw, rng):
         x, y = _device_preprocess(x_raw, y_raw, normalizer, padded_shape,
                                   static_z)
+        # decorrelate per-shard randomness (dropout etc.); rng-free models
+        # (the ConvLSTM family) are unaffected
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
         (loss, (pred, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, state, x, y, rng)
@@ -154,16 +175,12 @@ def make_dp_train_step_shardmap(
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, {"loss": loss, "r2": r2v}
 
-    # state is None for the ConvLSTM family (the intended user — the fused
-    # kernels are its serving/training path); a stateful model whose state
-    # varies per shard (UNet BN stats) fails shard_map's replication check
-    # loudly instead of training on silently diverged statistics.
     rep, batch = P(), P("dp")
     # check_vma=False for the same reason as the sharded pallas2 rollout
     # (parallel/spatial.py): interpret-mode pallas_call block indexing
     # mixes varying operands with unvarying grid indices, which the vma
     # checker rejects; numerics are pinned by the GSPMD-parity tests.
-    return jax.jit(
+    jitted = jax.jit(
         jax.shard_map(
             shard_body,
             mesh=mesh,
@@ -172,6 +189,20 @@ def make_dp_train_step_shardmap(
             check_vma=False,
         )
     )
+
+    def step(params, state, opt_state, x_raw, y_raw, rng):
+        # With check_vma=False the replication check cannot catch it, so
+        # guard loudly: a stateful model's state (UNet BN running stats)
+        # would be computed per shard and silently returned as device-0's.
+        if jax.tree.leaves(state):
+            raise ValueError(
+                "make_dp_train_step_shardmap supports stateless models only "
+                "(per-shard model state would silently diverge); use "
+                "make_dp_train_step for stateful families"
+            )
+        return jitted(params, state, opt_state, x_raw, y_raw, rng)
+
+    return step
 
 
 def fit_data_parallel(

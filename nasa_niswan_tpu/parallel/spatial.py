@@ -54,6 +54,9 @@ def make_spatial_train_step(
 ):
     """GSPMD train step: raw (B, T, C, H, W) batches sharded
     (dp, -, -, lat, lon); XLA partitions the convs with automatic halos."""
+    from nasa_niswan_tpu.parallel.dp import gspmd_safe_bundle
+
+    bundle = gspmd_safe_bundle(bundle)
     fn = build_train_step_fn(
         bundle, normalizer, optimizer, padded_shape=padded_shape,
         grid_shape=grid_shape, static=static,

@@ -74,6 +74,23 @@ def _forward_cropped(bundle: ModelBundle, params, state, x, grid_shape, *, train
     return pred, new_state
 
 
+def make_loss_fn(bundle: ModelBundle, grid_shape: Tuple[int, int]) -> Callable:
+    """The training loss — MSE + L1 on the cropped grid (train.py:74-75,105)
+    — as ``loss_fn(params, state, x, y, rng) -> (loss, (pred, new_state))``.
+    ONE definition shared by the single-device/GSPMD step
+    (build_train_step_fn) and the manual shard_map DP step (parallel/dp.py),
+    so a loss change cannot silently break their pinned parity."""
+
+    def loss_fn(params, state, x, y, rng):
+        pred, new_state = _forward_cropped(
+            bundle, params, state, x, grid_shape, training=True, rng=rng
+        )
+        loss = jnp.mean((y - pred) ** 2) + jnp.mean(jnp.abs(y - pred))
+        return loss, (pred, new_state)
+
+    return loss_fn
+
+
 def build_train_step_fn(
     bundle: ModelBundle,
     normalizer: Normalizer,
@@ -87,14 +104,7 @@ def build_train_step_fn(
     jitted single-device by make_train_step, or pjit-ed over a mesh by
     parallel/dp.py and parallel/spatial.py."""
     static_z = None if static is None else zscore_static(static)
-
-    def loss_fn(params, state, x, y, rng):
-        pred, new_state = _forward_cropped(
-            bundle, params, state, x, grid_shape, training=True, rng=rng
-        )
-        # MSE + L1 (train.py:74-75,105)
-        loss = jnp.mean((y - pred) ** 2) + jnp.mean(jnp.abs(y - pred))
-        return loss, (pred, new_state)
+    loss_fn = make_loss_fn(bundle, grid_shape)
 
     def train_step(params, state, opt_state, x_raw, y_raw, rng):
         x, y = _device_preprocess(x_raw, y_raw, normalizer, padded_shape, static_z)
@@ -375,13 +385,34 @@ def fit(
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from nasa_niswan_tpu.parallel.dp import make_dp_eval_step, make_dp_train_step
+        from nasa_niswan_tpu.parallel.dp import (
+            make_dp_eval_step,
+            make_dp_train_step,
+            make_dp_train_step_shardmap,
+        )
 
         batch_sharding = NamedSharding(mesh, P("dp"))
-        train_step = make_dp_train_step(
-            bundle, normalizer, optimizer, mesh, padded_shape=padded,
-            grid_shape=grid_shape, static=static,
-        )
+        # a pure-dp mesh with a stateless sequence model (the ConvLSTM
+        # family) trains through the manual shard_map step so the fused
+        # pallas2 kernels run per shard (GSPMD cannot partition a
+        # pallas_call, and cell_impl="auto" there must resolve against the
+        # PER-CHIP batch, not the global one); GSPMD-parity is pinned in
+        # tests/test_parallel.py
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        pure_dp = all(
+            n == 1 for a, n in sizes.items() if a != "dp"
+        ) and "dp" in sizes
+        stateless = not jax.tree.leaves(state)
+        if pure_dp and stateless and bundle.family == "LSTM":
+            train_step = make_dp_train_step_shardmap(
+                bundle, normalizer, optimizer, mesh, padded_shape=padded,
+                grid_shape=grid_shape, static=static,
+            )
+        else:
+            train_step = make_dp_train_step(
+                bundle, normalizer, optimizer, mesh, padded_shape=padded,
+                grid_shape=grid_shape, static=static,
+            )
         eval_step = make_dp_eval_step(
             bundle, normalizer, mesh, padded_shape=padded, grid_shape=grid_shape,
             static=static,

@@ -293,9 +293,10 @@ print("DIST-OK")
 def test_dp_shardmap_matches_gspmd(tiny_setup):
     """The manual shard_map DP step — the path that runs the fused pallas2
     kernels multi-chip (GSPMD treats pallas_call as opaque) — must match
-    the GSPMD DP step: loss/R² exactly, params to SGD-conditioned f32
-    reduction-order tolerance, for BOTH cell impls (pallas2 runs the fused
-    whole-scan BPTT inside the shard)."""
+    the GSPMD DP step (XLA cell — gspmd_safe_bundle forbids Pallas there):
+    loss/R² exactly, params to SGD-conditioned f32 reduction-order
+    tolerance, for BOTH cell impls (pallas2 runs the fused whole-scan BPTT
+    inside the shard)."""
     import optax
 
     from nasa_niswan_tpu.parallel.dp import make_dp_train_step_shardmap
@@ -306,18 +307,22 @@ def test_dp_shardmap_matches_gspmd(tiny_setup):
     opt = optax.sgd(1e-2)  # Adam's step-1 update is sign-like for
     # near-zero grads, amplifying f32 reduction noise; SGD keeps the
     # param comparison proportional to the actual grad difference
+    bundle_ref = build_model(
+        "LSTM-dpm", in_channels=5, hidden_channels=(4, 4),
+        kernel_sizes=(5, 3), cell_impl="xla",
+    )
+    params, state = bundle_ref.init(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+    gspmd = make_dp_train_step(bundle_ref, ds.normalizer, opt, mesh, **kw)
+    pg, mg = _run(gspmd, params, state, opt_state, batch)
     for impl, remat, tol in (("xla", False, 1e-7), ("pallas2", True, 1e-7)):
         bundle = build_model(
             "LSTM-dpm", in_channels=5, hidden_channels=(4, 4),
             kernel_sizes=(5, 3), cell_impl=impl, remat=remat,
         )
-        params, state = bundle.init(jax.random.PRNGKey(0))
-        opt_state = opt.init(params)
-        gspmd = make_dp_train_step(bundle, ds.normalizer, opt, mesh, **kw)
         manual = make_dp_train_step_shardmap(
             bundle, ds.normalizer, opt, mesh, **kw
         )
-        pg, mg = _run(gspmd, params, state, opt_state, batch)
         pm, mm = _run(manual, params, state, opt_state, batch)
         assert float(mg["loss"]) == pytest.approx(float(mm["loss"]), abs=1e-6)
         assert float(mg["r2"]) == pytest.approx(float(mm["r2"]), abs=1e-5)
