@@ -273,10 +273,15 @@ def make_sharded_rollout_fn(
     from nasa_niswan_tpu.data.dataset import zscore_static
     from nasa_niswan_tpu.rollout.autoregressive import _prep_frame
 
-    if cell_impl is not None and cell_impl != config.cell_impl:
+    impl = cell_impl if cell_impl is not None else config.cell_impl
+    if impl == "auto":
+        # shard-local tiles are exactly where the fused kernel wins (small
+        # per-shard batch, explicit halos already exchanged); XLA on CPU
+        impl = "pallas2" if jax.default_backend() == "tpu" else "xla"
+    if impl != config.cell_impl:
         import dataclasses
 
-        config = dataclasses.replace(config, cell_impl=cell_impl)
+        config = dataclasses.replace(config, cell_impl=impl)
     static_z = None if static is None else zscore_static(static)
     H, W = padded_shape
     state_sharding = jax.tree.map(
