@@ -282,7 +282,14 @@ def open_nc(path: str) -> NcFile:
             f = open_nc_native(path)  # C++ mmap reader (native/nc3read.cpp)
             if f is not None:
                 return f
-        return _open_scipy(path)
+        try:
+            return _open_scipy(path)
+        except Exception:
+            # e.g. CDF-5 (64-bit data, magic b"CDF\x05"): scipy only
+            # parses CDF-1/2 — fall through to xarray when installed
+            if not HAVE_XARRAY:
+                raise
+            return _open_xarray(path)  # pragma: no cover - needs xarray
     if magic == _HDF5_MAGIC:
         return _open_h5(path)
     if HAVE_XARRAY:  # pragma: no cover - exercised only with xarray

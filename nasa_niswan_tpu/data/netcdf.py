@@ -70,6 +70,10 @@ def _read_family_vars(
     if nat.available() and not _no_native():
         d = nat.read_vars(path, names, levels=levels)
         if d is not None:
+            # read_vars omits "time" when the axis is absent/unreadable;
+            # normalize to the open_nc contract (time=None) so consumers
+            # see a consistent shape instead of a bare KeyError
+            d.setdefault("time", None)
             return d
     f = open_nc(path)
     out = {n: f[n] for n in names}

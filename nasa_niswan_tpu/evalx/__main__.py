@@ -115,6 +115,12 @@ def main(argv=None):
         else None
     )
     padded = tuple(cfg.input_size)
+    if closed_loop and (args.export_hidden or args.oat or args.export_artifact):
+        # refuse BEFORE the (expensive) closed-loop rollout, not after
+        raise SystemExit(
+            "--export-hidden/--oat/--export-artifact drive the open-loop "
+            "windowed/rollout paths; not available for seq2seq snapshots"
+        )
     if closed_loop:
         # a seq2seq snapshot's feedback channel must carry the model's own
         # prediction — windowed/rollout modes would silently feed zeros or
@@ -135,11 +141,6 @@ def main(argv=None):
             batch_size=args.batch_size, static=static,
         )
 
-    if closed_loop and (args.export_hidden or args.oat or args.export_artifact):
-        raise SystemExit(
-            "--export-hidden/--oat/--export-artifact drive the open-loop "
-            "windowed/rollout paths; not available for seq2seq snapshots"
-        )
     if args.export_hidden:
         if not bundle.is_sequence:
             raise SystemExit("--export-hidden needs the LSTM family")

@@ -219,7 +219,9 @@ def _robinson_pcolormesh(ax, grid_lat, grid_lon, field, *, lon_0=0.0, **kw):
 
     edge_lat = np.linspace(-90, 90, 181)
     for sgn in (-1.0, 1.0):
-        bx, by = robinson_xy(edge_lat, np.full_like(edge_lat, sgn * 180.0 + lon_0))
+        bx, by = robinson_xy(
+            edge_lat, np.full_like(edge_lat, sgn * 180.0 + lon_0), lon_0=lon_0
+        )
         ax.plot(bx, by, color="black", linewidth=0.8)
     for glat in range(-60, 61, 30):
         gx, gy = robinson_xy(

@@ -40,6 +40,22 @@ from nasa_niswan_tpu.ops.vma import vary_like
 Params = Dict[str, Any]
 
 
+def _auto_backend() -> str:
+    """The backend ``cell_impl='auto'`` keys off (seam for tests)."""
+    return jax.default_backend()
+
+
+def resolve_auto_impl(B: int, backend: Optional[str] = None) -> str:
+    """The measured ``cell_impl='auto'`` policy, shared by training
+    (``convlstm_apply``), serving (``rollout.resolve_cell_impl``) and the
+    seq2seq chunk (``rollout/seq2seq.py``): the fused pallas2 kernel wins
+    at B<=4 on TPU — 1.4x for both the forward and the BPTT training step
+    (scripts/bench_cell.py) — and XLA's batched conv wins beyond."""
+    if backend is None:
+        backend = _auto_backend()
+    return "pallas2" if B <= 4 and backend == "tpu" else "xla"
+
+
 @dataclasses.dataclass(frozen=True)
 class ConvLSTMConfig:
     in_channels: int = 5
@@ -175,14 +191,7 @@ def convlstm_apply(
 
     cell_impl = config.cell_impl
     if cell_impl == "auto":
-        # measured policy (docs/PERFORMANCE.md): the fused kernel wins at
-        # small batch (B<=4: 1.4x for both serving and the BPTT training
-        # step), XLA's batched conv wins above — resolved at trace time
-        cell_impl = (
-            "pallas2"
-            if B <= 4 and jax.default_backend() == "tpu"
-            else "xla"
-        )
+        cell_impl = resolve_auto_impl(B)  # trace-time measured policy
 
     pallas2 = cell_impl == "pallas2"
     w_valid = W

@@ -44,6 +44,13 @@ def gspmd_safe_bundle(bundle: ModelBundle, *, force: bool = False) -> ModelBundl
     if impl is None:
         return bundle
     if impl == "auto" or (force and impl.startswith("pallas")):
+        if bundle.rebuild is None:
+            raise ValueError(
+                f"cell_impl={impl!r} needs a rebuild hook to swap in the "
+                "XLA cell for the GSPMD step, but this ModelBundle has "
+                "none — construct it via build_model, or pass "
+                "cell_impl='xla' up front"
+            )
         return bundle.rebuild(cell_impl="xla")
     if impl.startswith("pallas"):
         raise ValueError(

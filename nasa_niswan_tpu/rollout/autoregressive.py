@@ -73,7 +73,9 @@ def resolve_cell_impl(config, B: int, cell_impl: Optional[str] = "auto"):
     impl = cell_impl
     if impl == "auto":
         if _serving_backend() == "tpu":
-            impl = "pallas2" if B <= 4 else "xla"
+            from nasa_niswan_tpu.models.convlstm import resolve_auto_impl
+
+            impl = resolve_auto_impl(B, backend="tpu")
         else:
             impl = None
     if impl is None or impl == config.cell_impl:

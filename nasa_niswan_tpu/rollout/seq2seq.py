@@ -131,11 +131,9 @@ def _make_forward_chunk(
         # fused Pallas backward kernels
         impl = config.cell_impl
         if impl == "auto":
-            impl = (
-                "pallas2"
-                if B <= 4 and jax.default_backend() == "tpu"
-                else "xla"
-            )
+            from nasa_niswan_tpu.models.convlstm import resolve_auto_impl
+
+            impl = resolve_auto_impl(B)
         if impl == "pallas2" and config.remat:
             from nasa_niswan_tpu.ops.convlstm_pallas2 import (
                 col_margin,
@@ -148,13 +146,20 @@ def _make_forward_chunk(
             o2 = col_margin(config.kernel_sizes)
             wp = padded_cols(W, o2)
             xs_m = pad_cols(xs.astype(dt), o2, wp)  # (T, B, H, wp, C-1)
-            state0 = [
-                (
-                    jnp.zeros((B, H, wp, hc), jnp.float32),
-                    jnp.zeros((B, H, wp, hc), jnp.float32),
-                )
-                for hc in config.hidden_channels
-            ]
+            from nasa_niswan_tpu.ops.vma import vary_like
+
+            # fresh zeros are unvarying under shard_map manual axes; mark
+            # them varying like the sharded inputs (as convlstm_apply does)
+            state0 = vary_like(
+                [
+                    (
+                        jnp.zeros((B, H, wp, hc), jnp.float32),
+                        jnp.zeros((B, H, wp, hc), jnp.float32),
+                    )
+                    for hc in config.hidden_channels
+                ],
+                xs_m,
+            )
             _, preds = scan_seq2seq_pallas2(
                 params, xs_m, prev0n, ys, draws.astype(jnp.float32), state0,
                 tuple(config.kernel_sizes), o2, W, config.compute_dtype,
