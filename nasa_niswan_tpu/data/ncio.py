@@ -311,7 +311,9 @@ def write_nc(
     fmt: str = "netcdf3",
 ) -> str:
     """Write a netCDF file (fmt "netcdf3": scipy classic; "netcdf4": h5py
-    with the dimension-scale convention, readable by netCDF4/xarray).
+    with the dimension-scale convention, readable by netCDF4/xarray;
+    "cdf5": 64-bit-data classic — the PnetCDF format, record layout with
+    an unlimited time dim, read back by the native C++ reader).
 
     ``variables`` maps name -> (dims, array).  When ``time_values`` is
     given, a CF time coordinate with the no-leap calendar is written —
@@ -319,6 +321,11 @@ def write_nc(
     """
     if fmt == "netcdf4":
         return _write_h5(
+            path, dim_sizes, variables, time_values=time_values,
+            time_units=time_units, calendar=calendar,
+        )
+    if fmt == "cdf5":
+        return _write_cdf5(
             path, dim_sizes, variables, time_values=time_values,
             time_units=time_units, calendar=calendar,
         )
@@ -384,4 +391,130 @@ def _write_h5(
             v = f.create_dataset(name, data=arr)
             for i, d in enumerate(dims):
                 v.dims[i].attach_scale(scales[d])
+    return path
+
+
+_CDF5_TYPES = {
+    "int8": 1, "S1": 2, "int16": 3, "int32": 4, "float32": 5, "float64": 6,
+    "uint8": 7, "uint16": 8, "uint32": 9, "int64": 10, "uint64": 11,
+}
+
+
+def _write_cdf5(
+    path, dim_sizes, variables, *, time_values, time_units, calendar
+) -> str:
+    """CDF-5 (64-bit data) writer, per the classic format spec with the
+    PnetCDF extensions: magic CDF\\x05, every NON_NEG field 64-bit, the
+    unsigned/64-bit types.  When ``time_values`` is given the time dim is
+    UNLIMITED and time-led variables are laid out record-interleaved —
+    the shape of real large-model output, which scipy's writer never
+    produces.  Read back by the native reader (native/nc3read.cpp) and by
+    any netCDF >= 4.4 / PnetCDF stack."""
+    import struct
+
+    def pad4(n: int) -> int:
+        return (n + 3) & ~3
+
+    sizes = dict(dim_sizes)
+    vars_out: Dict[str, Tuple[Tuple[str, ...], np.ndarray]] = {}
+    numrecs = 0
+    record_dim = None
+    if time_values is not None:
+        tv = np.asarray(time_values, np.float64)
+        numrecs = len(tv)
+        record_dim = "time"
+        sizes.setdefault("time", numrecs)
+        vars_out["time"] = (("time",), tv)
+    for name, (dims, arr) in variables.items():
+        vars_out[name] = (tuple(dims), np.asarray(arr))
+    dim_names = list(sizes)
+    dim_ids = {n: i for i, n in enumerate(dim_names)}
+
+    def nc_type(a: np.ndarray) -> int:
+        key = "S1" if a.dtype.kind == "S" else a.dtype.name
+        if key not in _CDF5_TYPES:
+            raise ValueError(f"dtype {a.dtype} not representable in CDF-5")
+        return _CDF5_TYPES[key]
+
+    def name_bytes(s: str) -> bytes:
+        b = s.encode()
+        return struct.pack(">q", len(b)) + b + b"\x00" * (pad4(len(b)) - len(b))
+
+    # (name, dims, arr, is_record, vsize, unpadded_bytes) per variable;
+    # vsize per the spec: full size for fixed vars, per-record for record
+    # vars, padded to 4
+    metas = []
+    for name, (dims, arr) in vars_out.items():
+        is_rec = record_dim is not None and len(dims) > 0 and dims[0] == record_dim
+        data_shape = arr.shape[1:] if is_rec else arr.shape
+        nbytes = int(np.prod(data_shape, dtype=np.int64)) * arr.dtype.itemsize
+        metas.append((name, dims, arr, is_rec, pad4(nbytes), nbytes))
+
+    def header(begin_of) -> bytes:
+        out = bytearray(b"CDF\x05")
+        out += struct.pack(">q", numrecs)
+        out += struct.pack(">i", 0x0A) + struct.pack(">q", len(dim_names))
+        for n in dim_names:
+            out += name_bytes(n)
+            out += struct.pack(">q", 0 if n == record_dim else int(sizes[n]))
+        out += struct.pack(">iq", 0, 0)  # gatt_list ABSENT
+        out += struct.pack(">i", 0x0B) + struct.pack(">q", len(metas))
+        for name, dims, arr, _rec, vsize, _nb in metas:
+            out += name_bytes(name)
+            out += struct.pack(">q", len(dims))
+            for d in dims:
+                out += struct.pack(">q", dim_ids[d])
+            atts = (
+                [("units", time_units), ("calendar", calendar)]
+                if name == "time"
+                else []
+            )
+            if atts:
+                out += struct.pack(">i", 0x0C) + struct.pack(">q", len(atts))
+                for an, av in atts:
+                    b = av.encode()
+                    out += name_bytes(an)
+                    out += struct.pack(">iq", 2, len(b))
+                    out += b + b"\x00" * (pad4(len(b)) - len(b))
+            else:
+                out += struct.pack(">iq", 0, 0)
+            out += struct.pack(">i", nc_type(arr))
+            out += struct.pack(">q", vsize)
+            out += struct.pack(">q", begin_of[name])
+        return bytes(out)
+
+    hdr_len = len(header({m[0]: 0 for m in metas}))
+    begin_of: Dict[str, int] = {}
+    off = pad4(hdr_len)
+    for name, _dims, arr, is_rec, _vsize, _nb in metas:
+        if not is_rec:
+            begin_of[name] = off
+            off += pad4(arr.nbytes)
+    rec_start = off
+    recvars = [m for m in metas if m[3]]
+    # format special case: a sole record variable is NOT padded
+    recsize = (
+        recvars[0][5] if len(recvars) == 1 else sum(m[4] for m in recvars)
+    )
+    for m in recvars:
+        begin_of[m[0]] = off
+        off += m[4] if len(recvars) > 1 else m[5]
+
+    def be_bytes(a: np.ndarray) -> bytes:
+        if a.dtype.kind == "S":
+            return a.tobytes()
+        return a.astype(a.dtype.newbyteorder(">"), copy=False).tobytes()
+
+    with open(path, "wb") as fh:
+        fh.write(header(begin_of))
+        for name, _dims, arr, is_rec, vsize, nb in metas:
+            if not is_rec:
+                fh.seek(begin_of[name])
+                fh.write(be_bytes(arr))
+        for r in range(numrecs):
+            for name, _dims, arr, is_rec, _vsize, _nb in metas:
+                if is_rec:
+                    fh.seek(begin_of[name] + r * recsize)
+                    fh.write(be_bytes(np.asarray(arr[r])))
+        # files are sized to the last written byte; no trailing pad needed
     return path

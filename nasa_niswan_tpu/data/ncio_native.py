@@ -31,6 +31,12 @@ _NC_DTYPES = {
     4: np.dtype(np.int32),
     5: np.dtype(np.float32),
     6: np.dtype(np.float64),
+    # CDF-5 (64-bit data) additions
+    7: np.dtype(np.uint8),
+    8: np.dtype(np.uint16),
+    9: np.dtype(np.uint32),
+    10: np.dtype(np.int64),
+    11: np.dtype(np.uint64),
 }
 
 _lock = threading.Lock()

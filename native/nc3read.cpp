@@ -5,9 +5,11 @@
 // byte-swaps in numpy per open.  This reader mmaps the file, parses the
 // classic header once, and copies/byte-swaps each variable straight into
 // caller-provided numpy buffers — C ABI via ctypes (no pybind11 in the
-// image).  Handles CDF-1 (32-bit offsets) and CDF-2 (64-bit offsets),
-// fixed and record (unlimited-dimension) variables, including the
-// per-record interleaved layout.
+// image).  Handles CDF-1 (32-bit offsets), CDF-2 (64-bit offsets) and
+// CDF-5 (64-bit data: 64-bit sizes/counts plus the unsigned/64-bit
+// types, the PnetCDF format large ModelE output ships in), fixed and
+// record (unlimited-dimension) variables, including the per-record
+// interleaved layout.
 //
 // Format reference: the NetCDF classic format specification (public).
 // Behavioral contract mirrored from data/ncio._open_scipy: every
@@ -71,6 +73,7 @@ struct File {
 struct Cursor {
   const uint8_t* p;
   const uint8_t* end;
+  bool wide = false;  // CDF-5: every NON_NEG/NELEMS field is 64-bit
   bool ok = true;
   uint64_t u32() {
     if (p + 4 > end) { ok = false; return 0; }
@@ -83,8 +86,10 @@ struct Cursor {
     uint64_t hi = u32(), lo = u32();
     return (hi << 32) | lo;
   }
+  // NON_NEG per the format spec: 32-bit in CDF-1/2, 64-bit in CDF-5
+  uint64_t nonneg() { return wide ? u64() : u32(); }
   std::string name() {
-    uint64_t n = u32();
+    uint64_t n = nonneg();
     if (p + n > end) { ok = false; return {}; }
     std::string s(reinterpret_cast<const char*>(p), n);
     p += (n + 3) & ~uint64_t(3);  // names pad to 4-byte boundary
@@ -94,12 +99,17 @@ struct Cursor {
 
 int type_size(int t) {
   switch (t) {
-    case 1: return 1;  // byte
-    case 2: return 1;  // char
-    case 3: return 2;  // short
-    case 4: return 4;  // int
-    case 5: return 4;  // float
-    case 6: return 8;  // double
+    case 1: return 1;   // byte
+    case 2: return 1;   // char
+    case 3: return 2;   // short
+    case 4: return 4;   // int
+    case 5: return 4;   // float
+    case 6: return 8;   // double
+    case 7: return 1;   // ubyte  (CDF-5)
+    case 8: return 2;   // ushort (CDF-5)
+    case 9: return 4;   // uint   (CDF-5)
+    case 10: return 8;  // int64  (CDF-5)
+    case 11: return 8;  // uint64 (CDF-5)
   }
   return 0;
 }
@@ -108,7 +118,7 @@ Attr read_attr(Cursor& c) {
   Attr a;
   a.name = c.name();
   a.type = int(c.u32());
-  a.n = c.u32();
+  a.n = c.nonneg();
   int es = type_size(a.type);
   uint64_t nbytes = a.n * es;
   uint64_t padded = (nbytes + 3) & ~uint64_t(3);
@@ -125,22 +135,23 @@ bool parse(File* f) {
     return false;
   }
   f->version = f->map[3];
-  if (f->version != 1 && f->version != 2) {
+  if (f->version != 1 && f->version != 2 && f->version != 5) {
     f->error = "unsupported CDF version";
     return false;
   }
+  c.wide = (f->version == 5);
   c.p += 4;
-  uint32_t streaming = 0xFFFFFFFFu;
-  uint64_t numrecs = c.u32();
+  uint64_t streaming = c.wide ? ~uint64_t(0) : 0xFFFFFFFFu;
+  uint64_t numrecs = c.nonneg();
   f->numrecs = (numrecs == streaming) ? 0 : numrecs;
 
   // dim_list
-  uint64_t tag = c.u32(), n = c.u32();
+  uint64_t tag = c.u32(), n = c.nonneg();
   if (tag == NC_DIMENSION) {
     for (uint64_t i = 0; i < n && c.ok; i++) {
       Dim d;
       d.name = c.name();
-      d.len = c.u32();
+      d.len = c.nonneg();
       f->dims.push_back(std::move(d));
     }
   } else if (tag != 0 || n != 0) {
@@ -148,7 +159,7 @@ bool parse(File* f) {
     return false;
   }
   // gatt_list (skipped: the ingestion path needs only per-var atts)
-  tag = c.u32(); n = c.u32();
+  tag = c.u32(); n = c.nonneg();
   if (tag == NC_ATTRIBUTE) {
     for (uint64_t i = 0; i < n && c.ok; i++) read_attr(c);
   } else if (tag != 0 || n != 0) {
@@ -156,26 +167,26 @@ bool parse(File* f) {
     return false;
   }
   // var_list
-  tag = c.u32(); n = c.u32();
+  tag = c.u32(); n = c.nonneg();
   if (tag == NC_VARIABLE) {
     for (uint64_t i = 0; i < n && c.ok; i++) {
       Var v;
       v.name = c.name();
-      uint64_t nd = c.u32();
+      uint64_t nd = c.nonneg();
       v.is_record = false;
       for (uint64_t k = 0; k < nd && c.ok; k++) {
-        int id = int(c.u32());
+        int id = int(c.nonneg());
         v.dimids.push_back(id);
         if (id >= 0 && size_t(id) < f->dims.size() && f->dims[id].len == 0 &&
             k == 0)
           v.is_record = true;
       }
-      uint64_t atag = c.u32(), an = c.u32();
+      uint64_t atag = c.u32(), an = c.nonneg();
       if (atag == NC_ATTRIBUTE)
         for (uint64_t k = 0; k < an && c.ok; k++) v.atts.push_back(read_attr(c));
       v.type = int(c.u32());
-      v.vsize = c.u32();
-      v.begin = (f->version == 2) ? c.u64() : c.u32();
+      v.vsize = c.nonneg();
+      v.begin = (f->version == 1) ? c.u32() : c.u64();
       for (size_t k = 0; k < v.dimids.size(); k++) {
         uint64_t len = f->dims[v.dimids[k]].len;
         if (k == 0 && v.is_record) len = f->numrecs;

