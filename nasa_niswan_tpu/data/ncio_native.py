@@ -135,13 +135,27 @@ def open_nc_native(path: str):
         variables, dims = {}, {}
         shape = (ctypes.c_uint64 * 8)()
         ndim, typ = ctypes.c_int(), ctypes.c_int()
+        file_size = os.path.getsize(path)
         for i in range(lib.nc3_num_vars(h)):
-            name = lib.nc3_var_name(h, i).decode()
+            raw_name = lib.nc3_var_name(h, i)
+            if raw_name is None:
+                return None
+            name = raw_name.decode(errors="replace")
             if lib.nc3_var_info(h, name.encode(), ctypes.byref(ndim), shape,
                                 ctypes.byref(typ)):
                 return None
+            if not 0 <= ndim.value <= 8 or typ.value not in _NC_DTYPES:
+                return None  # corrupt header
             shp = tuple(int(shape[k]) for k in range(ndim.value))
-            arr = np.empty(shp, _NC_DTYPES[typ.value])
+            dt = _NC_DTYPES[typ.value]
+            # a corrupt header can claim shapes far larger than the file;
+            # refuse before np.empty tries to allocate them
+            nbytes = dt.itemsize
+            for s in shp:
+                nbytes *= s
+            if nbytes > file_size:
+                return None
+            arr = np.empty(shp, dt)
             lead = shp[0] if shp else 1
             rc = lib.nc3_read(
                 h, name.encode(), 0, lead,
@@ -150,10 +164,13 @@ def open_nc_native(path: str):
             if rc:
                 return None
             variables[name] = arr
-            dims[name] = tuple(
-                lib.nc3_var_dim_name(h, name.encode(), k).decode()
+            dim_names = [
+                lib.nc3_var_dim_name(h, name.encode(), k)
                 for k in range(ndim.value)
-            )
+            ]
+            if any(d is None for d in dim_names):
+                return None
+            dims[name] = tuple(d.decode(errors="replace") for d in dim_names)
         time = None
         if "time" in variables:
             buf = ctypes.create_string_buffer(256)
@@ -162,11 +179,14 @@ def open_nc_native(path: str):
                 n = lib.nc3_var_attr_text(h, b"time", a, buf, 256)
                 return buf.raw[:n].decode() if n >= 0 else default
 
-            time = decode_noleap_times(
-                variables["time"],
-                attr(b"units", "days since 1950-01-01"),
-                attr(b"calendar", "noleap"),
-            )
+            try:
+                time = decode_noleap_times(
+                    variables["time"],
+                    attr(b"units", "days since 1950-01-01"),
+                    attr(b"calendar", "noleap"),
+                )
+            except Exception:  # corrupt units/values: keep data, drop time
+                time = None
         return NcFile(variables, dims, time)
     finally:
         lib.nc3_close(h)
@@ -195,11 +215,20 @@ def read_vars(path: str, names, *, levels: Optional[int] = None) -> Optional[dic
         shape = (ctypes.c_uint64 * 8)()
         ndim, typ = ctypes.c_int(), ctypes.c_int()
 
+        file_size = os.path.getsize(path)
+
         def read_full(name):
             if lib.nc3_var_info(h, name.encode(), ctypes.byref(ndim), shape,
                                 ctypes.byref(typ)):
                 return None
+            if not 0 <= ndim.value <= 8 or typ.value not in _NC_DTYPES:
+                return None  # corrupt header
             shp = tuple(int(shape[k]) for k in range(ndim.value))
+            nbytes = _NC_DTYPES[typ.value].itemsize
+            for s in shp:
+                nbytes *= s
+            if nbytes > file_size:
+                return None  # claims more data than the file holds
             if (
                 levels is not None and len(shp) >= 2
                 and (lib.nc3_var_dim_name(h, name.encode(), 1) or b"").decode()
@@ -232,11 +261,14 @@ def read_vars(path: str, names, *, levels: Optional[int] = None) -> Optional[dic
                 k = lib.nc3_var_attr_text(h, b"time", a, buf, 256)
                 return buf.raw[:k].decode() if k >= 0 else default
 
-            out["time"] = decode_noleap_times(
-                tvals,
-                attr(b"units", "days since 1950-01-01"),
-                attr(b"calendar", "noleap"),
-            )
+            try:
+                out["time"] = decode_noleap_times(
+                    tvals,
+                    attr(b"units", "days since 1950-01-01"),
+                    attr(b"calendar", "noleap"),
+                )
+            except Exception:  # corrupt units/values: keep data, drop time
+                out["time"] = None
         return out
     finally:
         lib.nc3_close(h)
@@ -260,7 +292,14 @@ def read_var_slice(
         if lib.nc3_var_info(h, name.encode(), ctypes.byref(ndim), shape,
                             ctypes.byref(typ)):
             return None
+        if not 1 <= ndim.value <= 8 or typ.value not in _NC_DTYPES:
+            return None  # corrupt header
         shp = (count,) + tuple(int(shape[k]) for k in range(1, ndim.value))
+        nbytes = _NC_DTYPES[typ.value].itemsize
+        for s in shp:
+            nbytes *= s
+        if nbytes > os.path.getsize(path):
+            return None
         arr = np.empty(shp, _NC_DTYPES[typ.value])
         if lib.nc3_read(h, name.encode(), start, count,
                         arr.ctypes.data_as(ctypes.c_void_p)):

@@ -90,9 +90,13 @@ struct Cursor {
   uint64_t nonneg() { return wide ? u64() : u32(); }
   std::string name() {
     uint64_t n = nonneg();
-    if (p + n > end) { ok = false; return {}; }
+    // compare against the remaining byte count, never p + n (a huge n
+    // from a corrupt header would overflow the pointer and pass)
+    if (!ok || n > uint64_t(end - p)) { ok = false; return {}; }
     std::string s(reinterpret_cast<const char*>(p), n);
-    p += (n + 3) & ~uint64_t(3);  // names pad to 4-byte boundary
+    uint64_t padded = (n + 3) & ~uint64_t(3);
+    if (padded > uint64_t(end - p)) { ok = false; return s; }
+    p += padded;
     return s;
   }
 };
@@ -120,9 +124,15 @@ Attr read_attr(Cursor& c) {
   a.type = int(c.u32());
   a.n = c.nonneg();
   int es = type_size(a.type);
+  uint64_t avail = uint64_t(c.end - c.p);
+  // overflow-safe: a corrupt n could make n*es wrap; bound n first
+  if (!c.ok || es == 0 || a.n > avail / uint64_t(es)) {
+    c.ok = false;
+    return a;
+  }
   uint64_t nbytes = a.n * es;
   uint64_t padded = (nbytes + 3) & ~uint64_t(3);
-  if (c.p + padded > c.end) { c.ok = false; return a; }
+  if (padded > avail) { c.ok = false; return a; }
   a.raw.assign(c.p, c.p + nbytes);
   c.p += padded;
   return a;
@@ -188,7 +198,12 @@ bool parse(File* f) {
       v.vsize = c.nonneg();
       v.begin = (f->version == 1) ? c.u32() : c.u64();
       for (size_t k = 0; k < v.dimids.size(); k++) {
-        uint64_t len = f->dims[v.dimids[k]].len;
+        int id = v.dimids[k];
+        if (id < 0 || size_t(id) >= f->dims.size()) {  // corrupt header
+          f->error = "bad dimid";
+          return false;
+        }
+        uint64_t len = f->dims[id].len;
         if (k == 0 && v.is_record) len = f->numrecs;
         v.shape.push_back(len);
       }
@@ -339,21 +354,31 @@ int nc3_read(void* h, const char* name, uint64_t start, uint64_t count,
   int es = type_size(v.type);
   if (es == 0) return -2;
   uint64_t per = es;  // elements*size below the leading dim
-  for (size_t k = 1; k < v.shape.size(); k++) per *= v.shape[k];
+  for (size_t k = 1; k < v.shape.size(); k++) {
+    if (__builtin_mul_overflow(per, v.shape[k], &per) || per > f->size)
+      return -4;  // corrupt shape: data cannot fit in the file
+  }
   uint64_t lead = v.shape.empty() ? 1 : v.shape[0];
   if (v.shape.empty()) per = es;
-  if (start + count > (v.shape.empty() ? 1 : lead)) return -3;
+  if (start + count < start || start + count > lead) return -3;
 
   uint8_t* out = static_cast<uint8_t*>(dst);
   if (v.is_record) {
     for (uint64_t r = 0; r < count; r++) {
-      uint64_t off = v.begin + (start + r) * f->recsize;
-      if (off + per > f->size) return -4;
+      uint64_t off;
+      if (__builtin_mul_overflow(start + r, f->recsize, &off) ||
+          __builtin_add_overflow(off, v.begin, &off) ||
+          off > f->size || per > f->size - off)
+        return -4;
       swap_copy(out + r * per, f->map + off, per / es, es);
     }
   } else {
-    uint64_t off = v.begin + start * per;
-    if (off + count * per > f->size) return -4;
+    uint64_t off, nbytes;
+    if (__builtin_mul_overflow(start, per, &off) ||
+        __builtin_add_overflow(off, v.begin, &off) ||
+        __builtin_mul_overflow(count, per, &nbytes) ||
+        off > f->size || nbytes > f->size - off)
+      return -4;
     swap_copy(out, f->map + off, count * per / es, es);
   }
   return 0;
@@ -372,15 +397,29 @@ int nc3_read_levels(void* h, const char* name, uint64_t start, uint64_t count,
   int es = type_size(v.type);
   if (es == 0 || v.shape.size() < 2) return -2;
   uint64_t inner = es;  // bytes below the level axis
-  for (size_t k = 2; k < v.shape.size(); k++) inner *= v.shape[k];
+  for (size_t k = 2; k < v.shape.size(); k++) {
+    if (__builtin_mul_overflow(inner, v.shape[k], &inner) ||
+        inner > f->size)
+      return -4;
+  }
   uint64_t lead = v.shape[0], nlev = v.shape[1];
-  if (start + count > lead || lev_start + lev_count > nlev) return -3;
+  if (start + count < start || start + count > lead ||
+      lev_start + lev_count < lev_start || lev_start + lev_count > nlev)
+    return -3;
   uint64_t rec_stride = v.is_record ? f->recsize : nlev * inner;
+  uint64_t nbytes;
+  if (__builtin_mul_overflow(lev_count, inner, &nbytes) || nbytes > f->size)
+    return -4;
+  uint64_t lev_off;
+  if (__builtin_mul_overflow(lev_start, inner, &lev_off)) return -4;
   uint8_t* out = static_cast<uint8_t*>(dst);
   for (uint64_t r = 0; r < count; r++) {
-    uint64_t off = v.begin + (start + r) * rec_stride + lev_start * inner;
-    uint64_t nbytes = lev_count * inner;
-    if (off + nbytes > f->size) return -4;
+    uint64_t off;
+    if (__builtin_mul_overflow(start + r, rec_stride, &off) ||
+        __builtin_add_overflow(off, v.begin, &off) ||
+        __builtin_add_overflow(off, lev_off, &off) ||
+        off > f->size || nbytes > f->size - off)
+      return -4;
     swap_copy(out + r * nbytes, f->map + off, nbytes / es, es);
   }
   return 0;
