@@ -264,6 +264,14 @@ class SingleStepDataset:
     def raw_item(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         return self._x[idx], self._y[idx]
 
+    def feedback_stream(self) -> Tuple[np.ndarray, np.ndarray]:
+        """The whole split as raw time-ordered arrays: (T, C, h, w) inputs
+        (channel 5 = ground-truth previous concentration for in_channels=6)
+        and (T, h, w) targets — the closed-loop evaluator's feed
+        (test.ipynb cell 8 streams the test loader in order, bs=1).  Only
+        meaningful for the contiguous 'test' period."""
+        return self._x, self._y
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         x, y = self.raw_item(idx)
         if not self.host_preprocessed:

@@ -59,6 +59,7 @@ def main(argv=None):
         cfg.model, in_channels=cfg.in_channels,
         hidden_channels=cfg.hidden_channels, kernel_sizes=cfg.kernel_size,
         compute_dtype=cfg.compute_dtype, cell_impl=cfg.cell_impl,
+        unet_features=cfg.unet_features,
     )
     data = load_data(cfg)
     # Mirror train/__main__.build_datasets exactly — the eval CLI must
@@ -107,8 +108,14 @@ def main(argv=None):
     print("Number of Epochs:", meta.get("epoch"))
 
     # Static-attribute channels ride above the forcing stack (and the
-    # feedback channel in seq2seq mode, train/config.py:71-72).
-    n_static = cfg.in_channels - n_forcing - (1 if closed_loop else 0)
+    # feedback channel in seq2seq mode, train/config.py:71-72).  A
+    # 6-channel single-step snapshot (UNet-6ch) has a FEEDBACK channel,
+    # not a static one — and gets the closed-loop loop of test.ipynb
+    # cell 8 ("if UNet-6ch and counter != 1: X[:, -1] = pred").
+    feedback_single = (not bundle.is_sequence) and cfg.in_channels == 6
+    n_static = cfg.in_channels - n_forcing - (
+        1 if (closed_loop or feedback_single) else 0
+    )
     static = (
         data["static"][:n_static]
         if n_static > 0 and isinstance(data, dict) and "static" in data
@@ -130,6 +137,13 @@ def main(argv=None):
         print("seq2seq snapshot: running closed-loop feedback evaluation")
         out = predict_test_closed_loop(
             bundle.config, params, test_ds, padded_shape=padded
+        )
+    elif feedback_single:
+        from nasa_niswan_tpu.evalx.evaluate import predict_test_feedback
+
+        print("6-channel feedback snapshot: running closed-loop evaluation")
+        out = predict_test_feedback(
+            bundle, params, tmpl_state, test_ds, padded_shape=padded
         )
     elif args.mode == "rollout" and bundle.is_sequence:
         out = predict_test_rollout(

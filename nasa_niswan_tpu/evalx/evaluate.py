@@ -179,6 +179,70 @@ def predict_test_closed_loop(
     return {"GTs": targets, "PDs": np.concatenate(preds)}
 
 
+def predict_test_feedback(
+    bundle, params, state, dataset, *, padded_shape, chunk_steps: int = 480
+) -> Dict[str, np.ndarray]:
+    """Closed-loop feedback evaluation of a 6-channel SINGLE-STEP model
+    (UNet-6ch): test.ipynb cell 8's ``X[:, -1] = pred`` loop — channel 5
+    of every frame after the first carries the model's OWN previous
+    prediction, not the dataset's teacher-forced ground truth.  The
+    feedback frame is carried across jitted fixed-size chunks so the test
+    period is one continuous episode.  Returns physical-unit GTs/PDs
+    shaped (T, h, w)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
+
+    frames, targets = dataset.feedback_stream()  # raw (T, 6, h, w) / (T, h, w)
+    if frames.shape[1] != 6:
+        raise ValueError("feedback evaluation needs in_channels=6")
+    norm = dataset.normalizer
+    grid_shape = tuple(targets.shape[-2:])
+    T = frames.shape[0]
+    chunk_steps = min(chunk_steps, T)
+
+    x_mean = jnp.asarray(norm.x_mean).reshape(-1, 1, 1)
+    x_std = jnp.asarray(norm.x_std).reshape(-1, 1, 1)
+
+    @jax.jit
+    def run_chunk(params, state, prev_raw, x_chunk):
+        # x_chunk: raw (Tc, 6, h, w); prev_raw: (h, w) raw-units feedback
+        def step(carry, x_t):
+            st, prev = carry
+            x_t = x_t.at[5].set(prev)  # cell 8: X[:, -1] = pred
+            xn = (x_t - x_mean) / x_std
+            frame = jnp.moveaxis(
+                pad_geo(xn, padded_shape), 0, -1
+            )[None].astype(jnp.float32)  # (1, H, W, 6)
+            out, st = bundle.apply(params, st, frame, training=False)
+            pred_raw = norm.unnormalize_y(
+                crop_to_grid(out[..., 0], grid_shape)[0]
+            )
+            return (st, pred_raw), pred_raw
+
+        (state, prev_raw), preds = jax.lax.scan(
+            step, (state, prev_raw), x_chunk
+        )
+        return state, prev_raw, preds
+
+    # ground-truth previous concentration seeds only step 0 (counter != 1)
+    prev_raw = np.asarray(frames[0, 5], np.float32)
+    preds = []
+    for s in range(0, T, chunk_steps):
+        x_chunk = frames[s : s + chunk_steps]
+        n_valid = len(x_chunk)
+        if n_valid < chunk_steps:  # pad tail to keep the trace static
+            x_chunk = np.concatenate(
+                [x_chunk, np.repeat(x_chunk[-1:], chunk_steps - n_valid, 0)]
+            )
+        state, prev_raw, p = run_chunk(
+            params, state, prev_raw, jnp.asarray(x_chunk)
+        )
+        preds.append(np.asarray(p)[:n_valid])
+    return {"GTs": targets, "PDs": np.concatenate(preds)}
+
+
 def predict_test_hidden(
     config,
     params,

@@ -135,11 +135,16 @@ def main(config: TrainConfig):
         compute_dtype=config.compute_dtype,
         cell_impl=config.cell_impl,
         precompute_input_conv=config.precompute_input_conv,
+        unet_features=config.unet_features,
     )
     train_ds, val_ds = build_datasets(config, bundle, data)
     # static attribute channels apply to the surface configs only (the
-    # fusion stack's in_channels are all dynamic)
+    # fusion stack's in_channels are all dynamic); a 6-channel SINGLE-STEP
+    # model's 6th channel is the previous-step FEEDBACK channel, which
+    # SingleStepDataset provides itself (dataset.py:330 semantics)
     n_static = config.in_channels - 5 if config.levels == 1 else 0
+    if not bundle.is_sequence and config.in_channels == 6:
+        n_static = 0
     static = data["static"][:n_static] if n_static > 0 else None
 
     init_params = init_state = init_opt_state = None

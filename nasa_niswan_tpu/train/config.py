@@ -55,6 +55,8 @@ class TrainConfig:
     auto_resume: bool = False  # restart-from-latest (preemption recovery)
     mode: str = "windowed"  # "windowed" | "seq2seq" (scheduled sampling, config #3)
     schedule_k: float = 10.0  # seq2seq teacher-forcing decay constant
+    # UNet encoder widths (model.py:158 defaults); narrower for CI/fixtures
+    unet_features: Tuple[int, ...] = (64, 128, 256, 512)
 
     def __post_init__(self):
         if len(self.hidden_channels) != self.num_layers:
@@ -104,7 +106,8 @@ class TrainConfig:
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in raw.items() if k in fields}
         for k in ("hidden_channels", "kernel_size", "input_size",
-                  "scheduler_config", "betas", "synthetic_grid"):
+                  "scheduler_config", "betas", "synthetic_grid",
+                  "unet_features"):
             if k in kwargs:
                 kwargs[k] = tuple(kwargs[k])
         return cls(**kwargs)
@@ -149,9 +152,11 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--mode", type=str, default=d["mode"].default,
                    choices=("windowed", "seq2seq"))
     p.add_argument("--schedule-k", type=float, default=d["schedule_k"].default)
+    p.add_argument("--unet-features", nargs="+", type=int,
+                   default=(64, 128, 256, 512))
     ns = p.parse_args(argv)
     kwargs = {k.replace("-", "_"): v for k, v in vars(ns).items()}
     for k in ("hidden_channels", "kernel_size", "input_size", "scheduler_config",
-              "betas", "synthetic_grid"):
+              "betas", "synthetic_grid", "unet_features"):
         kwargs[k] = tuple(kwargs[k])
     return TrainConfig(**kwargs)

@@ -180,3 +180,36 @@ def test_eval_cli_export_hidden_and_oat(tmp_path):
     with np.load(os.path.join(snap, "oat_sensitivity.npz")) as f:
         assert set(f.files) == {"u", "v", "w", "prec", "src"}
         assert (f["u"] >= 0).all()
+
+
+def test_unet6_feedback_closed_loop_round_trip(tmp_path):
+    """A UNet-6ch snapshot (the reference's autoregressive-emulation
+    config, test.ipynb cell 8) must evaluate CLOSED LOOP: channel 5
+    carries the model's own previous prediction, not the dataset's
+    teacher-forced ground truth."""
+    snap = str(tmp_path / "snap_unet6")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    run(
+        [
+            sys.executable, "-m", "nasa_niswan_tpu.train",
+            "--model", "UNet-evalcli", "--in-channels", "6",
+            "--unet-features", "4", "8", "16", "32",
+            "--num-epochs", "2", "--batch-size", "8",
+            "--input-size", "32", "48", "--synthetic-steps", "80",
+            "--synthetic-grid", "16", "24", "--snapshot-dir", snap,
+            "--checkpoint-every", "1",
+        ],
+        env,
+    )
+    cfg = json.load(open(os.path.join(snap, "configurations.json")))
+    assert cfg["unet_features"] == [4, 8, 16, 32]  # round-trips to evalx
+    out = run(
+        [sys.executable, "-m", "nasa_niswan_tpu.evalx", "--run-dir", snap],
+        env,
+    )
+    assert "closed-loop" in out.stdout
+    assert "temporal R2" in out.stdout
+    assert os.path.exists(os.path.join(snap, "test-results.npy"))

@@ -68,3 +68,41 @@ def test_feedback_loop_uses_own_predictions():
         axis=1,
     )
     assert not np.allclose(preds[:, 1:], teacher[:, 1:])
+
+
+def test_predict_test_feedback_matches_single_scan():
+    """The chunked CLI evaluator (evalx.evaluate.predict_test_feedback)
+    carries the feedback frame across jitted chunks; it must equal the
+    one-scan library rollout exactly, including across chunk boundaries
+    and a padded tail (T=7 with chunk_steps=3)."""
+    from types import SimpleNamespace
+
+    from nasa_niswan_tpu.evalx.evaluate import predict_test_feedback
+
+    apply, w = make_linear_apply()
+    norm = Normalizer(
+        x_mean=np.linspace(-0.2, 0.3, 6).astype(np.float32),
+        x_std=np.linspace(0.8, 1.4, 6).astype(np.float32),
+        y_mean=0.1, y_std=2.0,
+    )
+    rng = np.random.default_rng(1)
+    frames = rng.standard_normal((7, 6, *GRID)).astype(np.float32)
+    targets = rng.standard_normal((7, *GRID)).astype(np.float32)
+
+    bundle = SimpleNamespace(
+        apply=lambda params, state, x, *, training=False, rng=None: (
+            apply(params, x), state
+        )
+    )
+    ds = SimpleNamespace(
+        feedback_stream=lambda: (frames, targets), normalizer=norm
+    )
+    out = predict_test_feedback(
+        bundle, None, None, ds, padded_shape=PADDED, chunk_steps=3
+    )
+    one = make_feedback_rollout_fn(
+        apply, norm, padded_shape=PADDED, grid_shape=GRID
+    )
+    ref = np.asarray(one(None, jnp.asarray(frames[None])))[0]
+    np.testing.assert_allclose(out["PDs"], ref, atol=1e-5)
+    np.testing.assert_array_equal(out["GTs"], targets)
