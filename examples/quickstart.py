@@ -10,9 +10,13 @@ Run (CPU example sizes; raise the grid/epochs on TPU):
 
 import argparse
 import os
+import sys
 
 import jax
 import numpy as np
+
+# runnable from anywhere without installing the package (like serving.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
