@@ -53,6 +53,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Experimental batch fold: how many batch elements share one grid cell's
+# matmuls (rows concat along M).  1 = shipped behavior; >1 trades VMEM for
+# fewer, deeper matmuls at large B (bench: scripts/bench_cell.py
+# --batch-block).  Module-level so the custom_vjp signatures stay fixed.
+_BATCH_BLOCK = 1
+
+
+def set_batch_block(n: int) -> None:
+    global _BATCH_BLOCK
+    _BATCH_BLOCK = max(1, int(n))
+
+
 def col_margin(kernel_sizes) -> int:
     """Uniform left-column margin shared by every layer of a stack: the
     largest conv half-width, so one padded layout serves all layers."""
@@ -89,18 +101,19 @@ def _margin_mask(th: int, wp: int, ch: int, o: int, w_valid: int):
     return (col >= o) & (col < o + w_valid)
 
 
-def _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles):
+def _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles, b=0):
     """Haloed, flattened ((th+2p)*wp, C) slab from the clamped neighbor-tile
     blocks, with domain edges zeroed (rows beyond the grid are the conv's
     SAME zero padding).  Shared by the forward and backward kernels — the
-    halo/margin invariant lives HERE only."""
+    halo/margin invariant lives HERE only.  ``b`` selects the batch element
+    within a multi-batch block (batch_block > 1)."""
     C = cur_ref.shape[-1]
-    cur = cur_ref[0].reshape(th * wp, C)
+    cur = cur_ref[b].reshape(th * wp, C)
     if not p:
         return cur
-    top = prev_ref[0, th - p :].reshape(p * wp, C)
+    top = prev_ref[b, th - p :].reshape(p * wp, C)
     top = jnp.where(ti == 0, jnp.zeros_like(top), top)
-    bot = next_ref[0, :p].reshape(p * wp, C)
+    bot = next_ref[b, :p].reshape(p * wp, C)
     bot = jnp.where(ti == n_tiles - 1, jnp.zeros_like(bot), bot)
     return jnp.concatenate([top, cur, bot], axis=0)
 
@@ -136,15 +149,23 @@ def _deep_tap_conv(lhs_cat, w_ref, k, th, wp, n_out):
 
 
 def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
-                    w_valid: int, has_xg: bool, emit_gates: bool = False):
-    """One (batch, row-tile) grid cell.
+                    w_valid: int, has_xg: bool, emit_gates: bool = False,
+                    bb: int = 1):
+    """One (batch-block, row-tile) grid cell.
 
-    refs (inputs): prev, cur, next — (1, th, wp, C) row tiles of the
+    refs (inputs): prev, cur, next — (bb, th, wp, C) row tiles of the
     padded-column input (tile ti-1 / ti / ti+1, clamped at the domain
-    edges); c (1, th, wp, hidden) f32; w (k, k, C, 4*hidden); b (1, 4h);
-    [xg (1, th, wp, 4h) when has_xg].  Outputs: h', c' (1, th, wp, hidden);
-    [pre-activation gates (1, th, wp, 4h) when emit_gates — the training
-    residual that lets the VJP skip the forward-conv recompute].
+    edges); c (bb, th, wp, hidden) f32; w (k, k, C, 4*hidden); b (1, 4h);
+    [xg (bb, th, wp, 4h) when has_xg].  Outputs: h', c' (bb, th, wp,
+    hidden); [pre-activation gates (bb, th, wp, 4h) when emit_gates — the
+    training residual that lets the VJP skip the forward-conv recompute].
+
+    With ``bb > 1`` the bb per-batch slabs concatenate along the matmul
+    row axis, so each column tap is ONE (bb*th*wp, k*C) matmul — larger M
+    amortizes per-matmul overhead at big batch.  Roll wraparound across
+    batch-slab boundaries lands only in margin columns (the shifted row's
+    longitude moves by |dx-p| <= p <= o), which the output mask zeroes —
+    the same argument that makes tile-boundary wraparound safe.
     """
     g_out_ref = None
     if has_xg and emit_gates:
@@ -166,31 +187,48 @@ def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
     n_tiles = pl.num_programs(1)
     p = k // 2
 
-    slab = _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles)
     # k matmuls per cell instead of k*k shallow ones keeps the MXU
     # pipeline fed (measured: the K=C-per-tap form spends ~half its time
     # outside the systolic array at these shapes).
-    acc = _deep_tap_conv(_lhs_cat(slab, k, th, wp), w_ref, k, th, wp,
-                         4 * hidden)
+    lhs = jnp.concatenate(
+        [
+            _lhs_cat(
+                _build_slab(
+                    prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles, b
+                ),
+                k, th, wp,
+            )
+            for b in range(bb)
+        ],
+        axis=0,
+    ) if bb > 1 else _lhs_cat(
+        _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles),
+        k, th, wp,
+    )
+    acc = _deep_tap_conv(lhs, w_ref, k, th * bb, wp, 4 * hidden)
     if has_xg:
-        acc = acc + xg_ref[0].reshape(th * wp, 4 * hidden).astype(jnp.float32)
+        acc = acc + xg_ref[:].reshape(bb * th * wp, 4 * hidden).astype(
+            jnp.float32
+        )
 
-    gates = (acc + b_ref[0].astype(jnp.float32)).reshape(th, wp, 4 * hidden)
+    gates = (acc + b_ref[0].astype(jnp.float32)).reshape(
+        bb, th, wp, 4 * hidden
+    )
     if g_out_ref is not None:
         # margin values are roll/conv-edge garbage but the VJP masks its
         # cotangents to the valid columns, so they are never read
-        g_out_ref[0] = gates.astype(g_out_ref.dtype)
+        g_out_ref[:] = gates.astype(g_out_ref.dtype)
     i = jax.nn.sigmoid(gates[..., :hidden])
     f = jax.nn.sigmoid(gates[..., hidden : 2 * hidden])
     g = jnp.tanh(gates[..., 2 * hidden : 3 * hidden])
     og = jax.nn.sigmoid(gates[..., 3 * hidden :])
-    c_new = c_ref[0] * f + i * g
+    c_new = c_ref[:] * f + i * g
     h_new = og * jnp.tanh(c_new)
     # zero the margins so the layout invariant carries to the next step
     # (kills both conv-edge garbage and roll wraparound)
-    mask = _margin_mask(th, wp, hidden, o, w_valid)
-    h_out_ref[0] = jnp.where(mask, h_new, 0.0)
-    c_out_ref[0] = jnp.where(mask, c_new, 0.0)
+    mask = _margin_mask(th, wp, hidden, o, w_valid)[None]
+    h_out_ref[:] = jnp.where(mask, h_new, 0.0)
+    c_out_ref[:] = jnp.where(mask, c_new, 0.0)
 
 
 def fused_cell_forward_v2(
@@ -230,14 +268,16 @@ def fused_cell_forward_v2(
         w = jnp.pad(w, ((0, 0), (0, 0), (0, C_pad - C), (0, 0)))
         C = C_pad
 
+    bb = _BATCH_BLOCK if B % _BATCH_BLOCK == 0 else 1
+
     def clamp(i):
         return jnp.clip(i, 0, n_tiles - 1)
 
     in_block = lambda index_map: pl.BlockSpec(
-        (1, th, wp, C), index_map, memory_space=pltpu.VMEM
+        (bb, th, wp, C), index_map, memory_space=pltpu.VMEM
     )
     state_block = pl.BlockSpec(
-        (1, th, wp, hidden), lambda bi, ti: (bi, ti, 0, 0),
+        (bb, th, wp, hidden), lambda bi, ti: (bi, ti, 0, 0),
         memory_space=pltpu.VMEM,
     )
     in_specs = [
@@ -254,7 +294,7 @@ def fused_cell_forward_v2(
     if xg is not None:
         in_specs.append(
             pl.BlockSpec(
-                (1, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
+                (bb, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -263,6 +303,7 @@ def fused_cell_forward_v2(
     kernel = functools.partial(
         _cell_kernel_v2, k=k, th=th, wp=wp, hidden=hidden, o=o,
         w_valid=w_valid, has_xg=xg is not None, emit_gates=emit_gates,
+        bb=bb,
     )
     # Inside shard_map (the explicit-halo sharded serving path) the outputs
     # vary over the same mesh axes as the local-tile inputs; propagate the
@@ -276,7 +317,7 @@ def fused_cell_forward_v2(
     if emit_gates:
         out_specs.append(
             pl.BlockSpec(
-                (1, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
+                (bb, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -285,7 +326,7 @@ def fused_cell_forward_v2(
         )
     return pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
+        grid=(B // bb, n_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

@@ -52,7 +52,20 @@ def main():
              "XLA cell on this backend at bf16 tolerance (the guard behind "
              "cell_impl='auto' swapping kernels in serving)",
     )
+    ap.add_argument(
+        "--batch-block", type=int, default=1,
+        help="fold this many batch elements into each pallas2 grid cell's "
+             "matmuls (ops/convlstm_pallas2.set_batch_block) — the "
+             "large-batch experiment; interpret-parity-tested, perf TBD "
+             "on hardware",
+    )
     args = ap.parse_args()
+
+    if args.batch_block != 1:
+        from nasa_niswan_tpu.ops.convlstm_pallas2 import set_batch_block
+
+        set_batch_block(args.batch_block)
+        print(f"pallas2 batch_block = {args.batch_block}")
 
     import jax
     import jax.numpy as jnp

@@ -399,3 +399,44 @@ def test_bptt_fused_bwd_bf16_smoke(rng):
         assert np.isfinite(a).all()
         scale = max(np.abs(b).max(), 1e-6)
         assert np.abs(a - b).max() / scale < 0.1
+
+
+def test_batch_block_fold_parity():
+    """batch_block > 1 folds several batch elements' slabs into one grid
+    cell's matmul rows (M = bb*th*wp); outputs must be bit-compatible with
+    the per-batch grid in both entry modes, and a non-dividing bb must
+    fall back to 1."""
+    import nasa_niswan_tpu.ops.convlstm_pallas2 as p2
+
+    rng = np.random.default_rng(0)
+    B, H, W, C, hid, k = 4, 20, 27, 9, 16, 5
+    o = p2.col_margin((k,))
+    wp = p2.padded_cols(W, o)
+    xh = p2.pad_cols(
+        jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32), o, wp
+    )
+    c = p2.pad_cols(
+        jnp.asarray(rng.standard_normal((B, H, W, hid)), jnp.float32), o, wp
+    )
+    w = jnp.asarray(rng.standard_normal((k, k, C, 4 * hid)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4 * hid,)), jnp.float32)
+    xg = p2.pad_cols(
+        jnp.asarray(rng.standard_normal((B, H, W, 4 * hid)), jnp.float32),
+        o, wp,
+    )
+    try:
+        for mode_xg in (None, xg):
+            outs = {}
+            for bb in (1, 2, 4, 3):  # 3 does not divide B=4 -> fallback
+                p2.set_batch_block(bb)
+                outs[bb] = p2.fused_cell_forward_v2(
+                    xh, c, w, b, k, o, W, mode_xg,
+                    interpret=True, emit_gates=True,
+                )
+            for bb in (2, 4, 3):
+                for a, r in zip(outs[bb], outs[1]):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(r), rtol=2e-6, atol=2e-6
+                    )
+    finally:
+        p2.set_batch_block(1)
