@@ -104,7 +104,12 @@ def main(argv=None):
     if ckpt_dir is None:
         raise SystemExit(f"no epoch-NNN checkpoint under {args.run_dir}")
     tmpl_params, tmpl_state = bundle.init(jax.random.PRNGKey(cfg.seed))
-    params, _, meta = load_checkpoint(ckpt_dir, tmpl_params)
+    # model_state carries the UNet's BN running stats (torch state_dict
+    # semantics, utils.py:23-32); older checkpoints fall back to the
+    # template
+    params, _, eval_state, meta = load_checkpoint(
+        ckpt_dir, tmpl_params, state_template=tmpl_state
+    )
     print("Number of Epochs:", meta.get("epoch"))
 
     # Static-attribute channels ride above the forcing stack (and the
@@ -143,7 +148,7 @@ def main(argv=None):
 
         print("6-channel feedback snapshot: running closed-loop evaluation")
         out = predict_test_feedback(
-            bundle, params, tmpl_state, test_ds, padded_shape=padded
+            bundle, params, eval_state, test_ds, padded_shape=padded
         )
     elif args.mode == "rollout" and bundle.is_sequence:
         out = predict_test_rollout(
@@ -151,7 +156,7 @@ def main(argv=None):
         )
     else:
         out = predict_test_set(
-            bundle, params, tmpl_state, test_ds, padded_shape=padded,
+            bundle, params, eval_state, test_ds, padded_shape=padded,
             batch_size=args.batch_size, static=static,
         )
 

@@ -164,10 +164,10 @@ def main(config: TrainConfig):
         tmpl_opt = make_optimizer(config.learning_rate, tuple(config.betas)).init(
             tmpl_params
         )
-        init_params, init_opt_state, meta = load_checkpoint(
-            restore_dir, tmpl_params, tmpl_opt, lr=config.learning_rate
+        init_params, init_opt_state, init_state, meta = load_checkpoint(
+            restore_dir, tmpl_params, tmpl_opt, lr=config.learning_rate,
+            state_template=tmpl_state,
         )
-        init_state = tmpl_state
         if config.auto_resume and meta.get("epoch"):
             start_epoch = int(meta["epoch"]) + 1
         print("Number of Epochs:", meta.get("epoch"))

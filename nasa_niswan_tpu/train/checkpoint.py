@@ -36,24 +36,39 @@ def save_checkpoint(
     *,
     learning_rate: Optional[float] = None,
     epoch: Optional[int] = None,
+    model_state: Any = None,
 ) -> str:
+    """``model_state`` carries non-parameter model buffers — the UNet's
+    BatchNorm running statistics — mirroring torch's state_dict, which the
+    reference checkpoints whole (utils.py:23-32); without them an
+    eval/resume from checkpoint would run BN with fresh (0, 1) stats."""
     os.makedirs(directory, exist_ok=True)
     p_leaves, p_def = _flatten(params)
     o_leaves, o_def = _flatten(opt_state) if opt_state is not None else ([], "")
+    s_leaves, s_def = (
+        _flatten(model_state) if model_state is not None else ([], "")
+    )
     arrays = {f"p{i}": np.asarray(x) for i, x in enumerate(p_leaves)}
     arrays.update({f"o{i}": np.asarray(x) for i, x in enumerate(o_leaves)})
+    arrays.update({f"s{i}": np.asarray(x) for i, x in enumerate(s_leaves)})
     np.savez(os.path.join(directory, CKPT_FILE), **arrays)
     meta = {
         "n_params": len(p_leaves),
         "n_opt": len(o_leaves),
+        "n_state": len(s_leaves),
         "learning_rate": learning_rate,
         "epoch": epoch,
         "params_treedef": p_def,
         "opt_treedef": o_def,
+        "state_treedef": s_def,
     }
     with open(os.path.join(directory, META_FILE), "w") as f:
         json.dump(meta, f, indent=2)
     return directory
+
+
+_STATE_UNSET = object()  # distinguishes "no state wanted" from a None
+# template (stateless families like the ConvLSTM have state=None)
 
 
 def load_checkpoint(
@@ -62,8 +77,12 @@ def load_checkpoint(
     opt_state_template: Any = None,
     *,
     lr: Optional[float] = None,
-) -> Tuple[Any, Any, dict]:
-    """Restore (params, opt_state, meta) from a checkpoint directory.
+    state_template: Any = _STATE_UNSET,
+):
+    """Restore (params, opt_state, meta) from a checkpoint directory —
+    or (params, opt_state, model_state, meta) when ``state_template`` is
+    given (BatchNorm running stats etc.; falls back to the template for
+    checkpoints written before model_state existed).
 
     ``meta['learning_rate']`` reflects the reference's precedence: the ``lr``
     argument if given, else the stored lr (utils.py:44-50).  Templates supply
@@ -83,7 +102,15 @@ def load_checkpoint(
             jax.tree_util.tree_structure(opt_state_template), o_leaves
         )
     meta["learning_rate"] = lr if lr is not None else meta.get("learning_rate")
-    return params, opt_state, meta
+    if state_template is _STATE_UNSET:
+        return params, opt_state, meta
+    model_state = state_template
+    if meta.get("n_state") and state_template is not None:
+        s_leaves = [data[f"s{i}"] for i in range(meta["n_state"])]
+        model_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state_template), s_leaves
+        )
+    return params, opt_state, model_state, meta
 
 
 def latest_epoch_dir(snapshot_dir: str) -> Optional[str]:

@@ -56,10 +56,14 @@ class AsyncCheckpointer:
         opt_state: Any = None,
         *,
         learning_rate: Optional[float] = None,
+        model_state: Any = None,
     ) -> None:
         payload = {
             "params": params,
             "opt_state": opt_state if opt_state is not None else {},
+            # non-parameter buffers (UNet BN running stats) — torch
+            # state_dict semantics, like train/checkpoint.py
+            "model_state": model_state if model_state is not None else {},
             "meta": {
                 "epoch": step,
                 "learning_rate": (
@@ -70,21 +74,28 @@ class AsyncCheckpointer:
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
 
     def restore_latest(
-        self, params_template: Any, opt_state_template: Any = None
-    ) -> Optional[Tuple[Any, Any, dict]]:
+        self,
+        params_template: Any = None,
+        opt_state_template: Any = None,
+        state_template: Any = None,
+    ):
+        """Returns (params, opt_state, meta), or (params, opt_state,
+        model_state, meta) when ``state_template`` is given.  Restores
+        as-saved (single-host topology), so checkpoints written with or
+        without ``model_state`` both load; templates serve only as the
+        fallback for pieces the checkpoint lacks."""
         step = self._mgr.latest_step()
         if step is None:
             return None
-        payload = {
-            "params": params_template,
-            "opt_state": opt_state_template if opt_state_template is not None else {},
-            "meta": {"epoch": 0, "learning_rate": -1.0},
-        }
-        out = self._mgr.restore(step, args=ocp.args.StandardRestore(payload))
+        out = self._mgr.restore(step)
         meta = dict(out["meta"])
         if meta.get("learning_rate", -1.0) < 0:
             meta["learning_rate"] = None
-        return out["params"], out["opt_state"], meta
+        opt_state = out.get("opt_state", opt_state_template)
+        if state_template is None:
+            return out["params"], opt_state, meta
+        model_state = out.get("model_state") or state_template
+        return out["params"], opt_state, model_state, meta
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

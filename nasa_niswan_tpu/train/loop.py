@@ -499,7 +499,8 @@ def fit(
             lr_now = step_lr(config.learning_rate, step_size, gamma, epoch - 1)
             ckpt_dir = os.path.join(config.snapshot_dir, f"epoch-{epoch:03d}")
             save_checkpoint(
-                ckpt_dir, params, opt_state, learning_rate=lr_now, epoch=epoch
+                ckpt_dir, params, opt_state, learning_rate=lr_now,
+                epoch=epoch, model_state=state,
             )
             if verbose:
                 print("Learning Rate:", [lr_now])

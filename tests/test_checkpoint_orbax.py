@@ -31,3 +31,25 @@ def test_restore_latest_empty(tmp_path):
         assert ck.restore_latest({}) is None
     finally:
         ck.close()
+
+
+def test_async_round_trip_model_state(tmp_path):
+    """Non-parameter buffers (UNet BN running stats) ride along like
+    torch's state_dict; old-style restores (no state_template) still
+    return the 3-tuple."""
+    params = convlstm_init(jax.random.PRNGKey(0), ConvLSTMConfig(3, (4,), (3,)))
+    state = {"bn": {"mean": np.full((4,), 0.7, np.float32),
+                    "var": np.full((4,), 1.3, np.float32)}}
+    ck = AsyncCheckpointer(str(tmp_path / "cks"), max_to_keep=2)
+    try:
+        ck.save(1, params, learning_rate=1e-3, model_state=state)
+        ck.wait()
+        tmpl = {"bn": {"mean": np.zeros((4,), np.float32),
+                       "var": np.ones((4,), np.float32)}}
+        p2, _, s2, meta = ck.restore_latest(params, state_template=tmpl)
+        np.testing.assert_array_equal(s2["bn"]["mean"], state["bn"]["mean"])
+        np.testing.assert_array_equal(s2["bn"]["var"], state["bn"]["var"])
+        out = ck.restore_latest(params)
+        assert len(out) == 3
+    finally:
+        ck.close()

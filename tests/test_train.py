@@ -227,3 +227,43 @@ def test_device_resident_matches_host_pipeline(tmp_path, data):
         out_d["logger"]["r2_score_val"], out_h["logger"]["r2_score_val"],
         rtol=1e-5,
     )
+
+
+def test_checkpoint_round_trips_bn_running_stats(tmp_path, data):
+    """torch's state_dict carries BatchNorm running stats (the reference
+    checkpoints it whole, utils.py:23-32); ours must too — an eval or
+    resume from checkpoint may not silently run BN with fresh (0, 1)
+    stats."""
+    cfg = TrainConfig(
+        model="UNet-bn", in_channels=6, num_epochs=2, batch_size=8,
+        input_size=(32, 48), snapshot_dir=str(tmp_path / "snap_bn"),
+        checkpoint_every=2,
+    )
+    bundle = build_model(cfg.model, in_channels=6, unet_features=(4, 8, 16, 32))
+    tr = SingleStepDataset(data, period="train", in_channels=6)
+    va = SingleStepDataset(data, period="val", in_channels=6)
+    out = fit(bundle, tr, va, cfg, verbose=False)
+
+    import jax
+
+    from nasa_niswan_tpu.train.checkpoint import latest_epoch_dir
+
+    tmpl_params, tmpl_state = bundle.init(jax.random.PRNGKey(0))
+    ck = latest_epoch_dir(cfg.snapshot_dir)
+    params, _, state, meta = load_checkpoint(
+        ck, tmpl_params, state_template=tmpl_state
+    )
+    # restored running stats equal the final training state, and differ
+    # from the fresh template (training moved them)
+    got = jax.tree_util.tree_leaves(state)
+    want = jax.tree_util.tree_leaves(out["state"])
+    fresh = jax.tree_util.tree_leaves(tmpl_state)
+    assert any(
+        not np.allclose(g, f) for g, f in zip(got, fresh)
+    ), "running stats indistinguishable from fresh init"
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # stateless families: state=None round-trips as None
+    p2, _, s2, _ = load_checkpoint(ck, tmpl_params, state_template=None)
+    assert s2 is None
