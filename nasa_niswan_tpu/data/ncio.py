@@ -401,7 +401,8 @@ _CDF5_TYPES = {
 
 
 def _write_cdf5(
-    path, dim_sizes, variables, *, time_values, time_units, calendar
+    path, dim_sizes, variables, *, time_values, time_units, calendar,
+    record_dim: Optional[str] = None,
 ) -> str:
     """CDF-5 (64-bit data) writer, per the classic format spec with the
     PnetCDF extensions: magic CDF\\x05, every NON_NEG field 64-bit, the
@@ -418,15 +419,24 @@ def _write_cdf5(
     sizes = dict(dim_sizes)
     vars_out: Dict[str, Tuple[Tuple[str, ...], np.ndarray]] = {}
     numrecs = 0
-    record_dim = None
     if time_values is not None:
         tv = np.asarray(time_values, np.float64)
         numrecs = len(tv)
-        record_dim = "time"
+        record_dim = record_dim or "time"
         sizes.setdefault("time", numrecs)
         vars_out["time"] = (("time",), tv)
+    elif record_dim is not None:
+        # explicit record dim without a time coordinate (e.g. the
+        # single-record-variable layout); its length sets numrecs
+        numrecs = int(sizes[record_dim])
     for name, (dims, arr) in variables.items():
         vars_out[name] = (tuple(dims), np.asarray(arr))
+        if record_dim is not None and dims and dims[0] == record_dim:
+            if vars_out[name][1].shape[0] != numrecs:
+                raise ValueError(
+                    f"{name}: leading ({record_dim}) dim "
+                    f"{vars_out[name][1].shape[0]} != numrecs {numrecs}"
+                )
     dim_names = list(sizes)
     dim_ids = {n: i for i, n in enumerate(dim_names)}
 

@@ -117,7 +117,7 @@ def main(argv=None):
     # 6-channel single-step snapshot (UNet-6ch) has a FEEDBACK channel,
     # not a static one — and gets the closed-loop loop of test.ipynb
     # cell 8 ("if UNet-6ch and counter != 1: X[:, -1] = pred").
-    feedback_single = (not bundle.is_sequence) and cfg.in_channels == 6
+    feedback_single = bundle.family == "UNet" and cfg.in_channels == 6
     n_static = cfg.in_channels - n_forcing - (
         1 if (closed_loop or feedback_single) else 0
     )
@@ -127,11 +127,14 @@ def main(argv=None):
         else None
     )
     padded = tuple(cfg.input_size)
-    if closed_loop and (args.export_hidden or args.oat or args.export_artifact):
+    if (closed_loop or feedback_single) and (
+        args.export_hidden or args.oat or args.export_artifact
+    ):
         # refuse BEFORE the (expensive) closed-loop rollout, not after
         raise SystemExit(
-            "--export-hidden/--oat/--export-artifact drive the open-loop "
-            "windowed/rollout paths; not available for seq2seq snapshots"
+            "--export-hidden/--oat/--export-artifact drive the LSTM "
+            "open-loop windowed/rollout paths; not available for "
+            "closed-loop (seq2seq / UNet-6ch feedback) snapshots"
         )
     if closed_loop:
         # a seq2seq snapshot's feedback channel must carry the model's own

@@ -105,6 +105,29 @@ def predict_test_rollout(
     return {"GTs": targets, "PDs": preds}
 
 
+def _run_chunked_episode(run_chunk, carry, frames, chunk_steps: int):
+    """Drive a jitted fixed-size-chunk closed-loop episode over ``frames``
+    (T leading): repeat-pad the tail chunk so the trace stays static,
+    thread the carry through every chunk (ONE continuous episode, no
+    resets at chunk boundaries), trim the padding from the outputs.
+
+    ``run_chunk(*carry, x_chunk) -> (*carry, preds)``.  Shared by the
+    seq2seq and the UNet-6ch feedback evaluators."""
+    T = frames.shape[0]
+    chunk_steps = min(chunk_steps, T)
+    preds = []
+    for s in range(0, T, chunk_steps):
+        x_chunk = frames[s : s + chunk_steps]
+        n_valid = len(x_chunk)
+        if n_valid < chunk_steps:  # pad tail to keep the trace static
+            x_chunk = np.concatenate(
+                [x_chunk, np.repeat(x_chunk[-1:], chunk_steps - n_valid, 0)]
+            )
+        *carry, p = run_chunk(*carry, x_chunk)
+        preds.append(np.asarray(p)[:n_valid])
+    return np.concatenate(preds)
+
+
 def predict_test_closed_loop(
     config, params, dataset, *, padded_shape, chunk_steps: int = 480
 ) -> Dict[str, np.ndarray]:
@@ -166,17 +189,11 @@ def predict_test_closed_loop(
         for hc in config.hidden_channels
     ]
     prev_norm = np.asarray(norm.normalize_y(prev0), np.float32)[None]
-    preds = []
-    for s in range(0, T, chunk_steps):
-        x_chunk = frames[s : s + chunk_steps]
-        n_valid = len(x_chunk)
-        if n_valid < chunk_steps:  # pad tail to keep the trace static
-            x_chunk = np.concatenate(
-                [x_chunk, np.repeat(x_chunk[-1:], chunk_steps - n_valid, 0)]
-            )
-        state, prev_norm, p = run_chunk(params, state, prev_norm, x_chunk)
-        preds.append(np.asarray(p)[:n_valid])
-    return {"GTs": targets, "PDs": np.concatenate(preds)}
+    preds = _run_chunked_episode(
+        lambda st, prev, x: run_chunk(params, st, prev, x),
+        [state, prev_norm], frames, chunk_steps,
+    )
+    return {"GTs": targets, "PDs": preds}
 
 
 def predict_test_feedback(
@@ -228,19 +245,11 @@ def predict_test_feedback(
 
     # ground-truth previous concentration seeds only step 0 (counter != 1)
     prev_raw = np.asarray(frames[0, 5], np.float32)
-    preds = []
-    for s in range(0, T, chunk_steps):
-        x_chunk = frames[s : s + chunk_steps]
-        n_valid = len(x_chunk)
-        if n_valid < chunk_steps:  # pad tail to keep the trace static
-            x_chunk = np.concatenate(
-                [x_chunk, np.repeat(x_chunk[-1:], chunk_steps - n_valid, 0)]
-            )
-        state, prev_raw, p = run_chunk(
-            params, state, prev_raw, jnp.asarray(x_chunk)
-        )
-        preds.append(np.asarray(p)[:n_valid])
-    return {"GTs": targets, "PDs": np.concatenate(preds)}
+    preds = _run_chunked_episode(
+        lambda st, prev, x: run_chunk(params, st, prev, jnp.asarray(x)),
+        [state, prev_raw], frames, chunk_steps,
+    )
+    return {"GTs": targets, "PDs": preds}
 
 
 def predict_test_hidden(

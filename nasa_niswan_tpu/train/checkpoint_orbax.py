@@ -91,11 +91,22 @@ class AsyncCheckpointer:
         meta = dict(out["meta"])
         if meta.get("learning_rate", -1.0) < 0:
             meta["learning_rate"] = None
-        opt_state = out.get("opt_state", opt_state_template)
+
+        def restored_or(key, template):
+            # a save with None stores {}; {} or a missing key (pre-
+            # model_state checkpoints) falls back to the template.  No
+            # truthiness on the value itself — a pytree may be a bare
+            # ndarray.
+            val = out.get(key)
+            absent = val is None or (isinstance(val, dict) and not val)
+            return template if absent else val
+
+        opt_state = restored_or("opt_state", opt_state_template)
         if state_template is None:
             return out["params"], opt_state, meta
-        model_state = out.get("model_state") or state_template
-        return out["params"], opt_state, model_state, meta
+        return out["params"], opt_state, restored_or(
+            "model_state", state_template
+        ), meta
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

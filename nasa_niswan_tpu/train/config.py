@@ -153,7 +153,7 @@ def parse_args(argv=None) -> TrainConfig:
                    choices=("windowed", "seq2seq"))
     p.add_argument("--schedule-k", type=float, default=d["schedule_k"].default)
     p.add_argument("--unet-features", nargs="+", type=int,
-                   default=(64, 128, 256, 512))
+                   default=d["unet_features"].default)
     ns = p.parse_args(argv)
     kwargs = {k.replace("-", "_"): v for k, v in vars(ns).items()}
     for k in ("hidden_channels", "kernel_size", "input_size", "scheduler_config",

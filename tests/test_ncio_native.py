@@ -207,26 +207,41 @@ def test_read_day_fields_native_scipy_parity(tmp_path, monkeypatch):
 
 def test_cdf5_single_record_var_unpadded(tmp_path):
     """CDF-5 keeps the classic special case: a sole record variable of a
-    sub-4-byte type is laid out with an UNPADDED record stride."""
-    from nasa_niswan_tpu.data.ncio import write_nc
+    sub-4-byte type is laid out with an UNPADDED record stride (6 bytes
+    per int16 (4,3) record, not 8)."""
+    from nasa_niswan_tpu.data.ncio import _write_cdf5, write_nc
 
+    # two record vars (time + a): padded stride
     p = str(tmp_path / "one5.nc")
     a = np.arange(12, dtype=np.int16).reshape(4, 3)  # 6 bytes/record
     write_nc(p, {"x": 3}, {"a": (("time", "x"), a)},
              time_values=np.arange(4) * 6.0, fmt="cdf5")
-    # time is a record var too here, so craft a truly single-record-var
-    # file by hand: drop the time coordinate
-    q = str(tmp_path / "only.nc")
-    from nasa_niswan_tpu.data.ncio import _write_cdf5
-
-    _write_cdf5(q, {"x": 3, "time": 4},
-                {"a": (("time", "x"), a)},
-                time_values=None, time_units="", calendar="")
     nat = open_nc_native(p)
     np.testing.assert_array_equal(nat["a"], a)
-    # the no-time file has no record dim (time_values=None -> fixed):
+
+    # a truly SOLE record var (record dim without a time coordinate):
+    # both the writer's and the reader's nrecvars==1 unpadded branches
+    q = str(tmp_path / "only.nc")
+    _write_cdf5(q, {"x": 3, "t": 4}, {"a": (("t", "x"), a)},
+                time_values=None, time_units="", calendar="",
+                record_dim="t")
     nat2 = open_nc_native(q)
     np.testing.assert_array_equal(nat2["a"], a)
+    # the stride must really be 6 (unpadded), not 8: the last two records
+    # sit back-to-back at EOF with no pad bytes between or after them
+    with open(q, "rb") as fh:
+        raw = fh.read()
+    assert raw[:4] == b"CDF\x05"
+    tail = np.frombuffer(raw[-12:], dtype=">i2").astype(np.int16)
+    np.testing.assert_array_equal(tail.reshape(2, 3), a[-2:])
+
+    # writer refuses a record var whose leading dim mismatches numrecs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_nc(str(tmp_path / "bad.nc"), {"x": 3},
+                 {"a": (("time", "x"), a[:3])},
+                 time_values=np.arange(4) * 6.0, fmt="cdf5")
 
 
 def test_cdf5_read_vars_level_slice(tmp_path):
