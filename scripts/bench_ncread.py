@@ -40,8 +40,8 @@ def main():
         paths = sorted(glob.glob(d + "/*.nc"))
         total_mb = sum(os.path.getsize(p) for p in paths) / 1e6
 
-        def read_all(opener):
-            for p in paths:
+        def read_all(opener, file_paths=None):
+            for p in file_paths or paths:
                 f = opener(p)
                 for n in f.variables:
                     np.asarray(f[n]).sum()  # touch every array
@@ -59,7 +59,7 @@ def main():
         t_day_scipy = timeit(lambda: read_day_fields(d, date, "bcb"))
         del os.environ["NISWAN_NO_NATIVE_NC"]
 
-        print(json.dumps({
+        out = {
             "day_files": len(paths),
             "total_MB": round(total_mb, 1),
             "scipy_ms": round(t_scipy * 1e3, 1),
@@ -69,7 +69,33 @@ def main():
             "day_fields_scipy_ms": round(t_day_scipy * 1e3, 1),
             "day_fields_native_ms": round(t_day * 1e3, 1),
             "day_fields_speedup": round(t_day_scipy / t_day, 2),
-        }))
+        }
+
+    # on-disk format matrix: the same 2-day surface tree in each format,
+    # timed through the SAME open_nc dispatch the lazy loaders use, plus
+    # the end-to-end training-feed unit (lazy dataset samples/sec)
+    from nasa_niswan_tpu.data.netcdf import LazyE33OMASingleStep
+
+    for fmt in ("netcdf3", "cdf5", "netcdf4"):
+        with tempfile.TemporaryDirectory() as d:
+            write_fixture_tree(
+                d, days=2, steps_per_day=48, H=90, W=144, levels=20, fmt=fmt
+            )
+            paths = sorted(glob.glob(d + "/*.nc"))
+            out[f"{fmt}_open_ms"] = round(
+                timeit(lambda: read_all(ncio.open_nc, paths)) * 1e3, 1
+            )
+            ds = LazyE33OMASingleStep(d, period="train", species="bcb",
+                                      padding=None)
+            n = min(len(ds), 64)
+
+            def sample_pass():
+                for i in range(n):
+                    ds[i]
+
+            t = timeit(sample_pass, reps=3)
+            out[f"{fmt}_lazy_samples_per_s"] = round(n / t, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -197,8 +197,8 @@ def test_unet6_feedback_closed_loop_round_trip(tmp_path):
             sys.executable, "-m", "nasa_niswan_tpu.train",
             "--model", "UNet-evalcli", "--in-channels", "6",
             "--unet-features", "4", "8", "16", "32",
-            "--num-epochs", "2", "--batch-size", "8",
-            "--input-size", "32", "48", "--synthetic-steps", "80",
+            "--num-epochs", "1", "--batch-size", "8",
+            "--input-size", "32", "48", "--synthetic-steps", "60",
             "--synthetic-grid", "16", "24", "--snapshot-dir", snap,
             "--checkpoint-every", "1",
         ],

@@ -235,9 +235,9 @@ def test_checkpoint_round_trips_bn_running_stats(tmp_path, data):
     resume from checkpoint may not silently run BN with fresh (0, 1)
     stats."""
     cfg = TrainConfig(
-        model="UNet-bn", in_channels=6, num_epochs=2, batch_size=8,
+        model="UNet-bn", in_channels=6, num_epochs=1, batch_size=8,
         input_size=(32, 48), snapshot_dir=str(tmp_path / "snap_bn"),
-        checkpoint_every=2,
+        checkpoint_every=1,
     )
     bundle = build_model(cfg.model, in_channels=6, unet_features=(4, 8, 16, 32))
     tr = SingleStepDataset(data, period="train", in_channels=6)
