@@ -65,6 +65,10 @@ def set_batch_block(n: int) -> None:
     _BATCH_BLOCK = max(1, int(n))
 
 
+def get_batch_block() -> int:
+    return _BATCH_BLOCK
+
+
 def col_margin(kernel_sizes) -> int:
     """Uniform left-column margin shared by every layer of a stack: the
     largest conv half-width, so one padded layout serves all layers."""

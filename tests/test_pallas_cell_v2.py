@@ -440,3 +440,59 @@ def test_batch_block_fold_parity():
                     )
     finally:
         p2.set_batch_block(1)
+
+
+def test_batch_block_fold_backward_parity(rng):
+    """The batch fold applies to the fused BACKWARD kernels too
+    (ops/convgrad_pallas): per-kernel cotangents and the full-model
+    pallas2+remat gradients are identical for bb in {1, 2, 4} (and a
+    non-dividing bb falls back)."""
+    import nasa_niswan_tpu.ops.convlstm_pallas2 as p2
+    from nasa_niswan_tpu.models.convlstm import (
+        ConvLSTMConfig,
+        convlstm_apply,
+        convlstm_init,
+    )
+    from nasa_niswan_tpu.ops.convgrad_pallas import cell_grads_pallas
+
+    B, H, W, C, hid, k = 4, 20, 27, 9, 16, 3
+    o = p2.col_margin((5, k))
+    wp = p2.padded_cols(W, o)
+    pc = lambda a: p2.pad_cols(jnp.asarray(a, jnp.float32), o, wp)
+    xh = pc(rng.standard_normal((B, H, W, C)))
+    c = pc(rng.standard_normal((B, H, W, hid)))
+    dh = pc(rng.standard_normal((B, H, W, hid)))
+    dc = pc(rng.standard_normal((B, H, W, hid)))
+    w = jnp.asarray(rng.standard_normal((k, k, C, 4 * hid)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4 * hid,)), jnp.float32)
+
+    x_model = jnp.asarray(
+        rng.standard_normal((4, 3, 16, 24, 5)).astype(np.float32)
+    )
+    cfg = ConvLSTMConfig(5, (4, 4), (5, 3), cell_impl="pallas2", remat=True)
+    params = convlstm_init(jax.random.PRNGKey(0), cfg)
+    model_grads = lambda: jax.grad(
+        lambda p: jnp.sum(convlstm_apply(p, x_model, cfg) ** 2)
+    )(params)
+
+    try:
+        kernel_outs, model_outs = {}, {}
+        for bb in (1, 2, 4, 3):
+            p2.set_batch_block(bb)
+            kernel_outs[bb] = cell_grads_pallas(
+                xh, c, dh, dc, w, b, k, o, W, interpret=True
+            )
+            model_outs[bb] = model_grads()
+        for bb in (2, 4, 3):
+            for a, r in zip(kernel_outs[bb], kernel_outs[1]):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(r), rtol=3e-5, atol=3e-5
+                )
+            for a, r in zip(
+                jax.tree.leaves(model_outs[bb]), jax.tree.leaves(model_outs[1])
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(r), rtol=3e-5, atol=3e-5
+                )
+    finally:
+        p2.set_batch_block(1)
