@@ -60,6 +60,7 @@ def main(argv=None):
         hidden_channels=cfg.hidden_channels, kernel_sizes=cfg.kernel_size,
         compute_dtype=cfg.compute_dtype, cell_impl=cfg.cell_impl,
         unet_features=cfg.unet_features,
+        pix2pix_features=cfg.pix2pix_features,
     )
     data = load_data(cfg)
     # Mirror train/__main__.build_datasets exactly — the eval CLI must

@@ -136,6 +136,7 @@ def main(config: TrainConfig):
         cell_impl=config.cell_impl,
         precompute_input_conv=config.precompute_input_conv,
         unet_features=config.unet_features,
+        pix2pix_features=config.pix2pix_features,
     )
     train_ds, val_ds = build_datasets(config, bundle, data)
     # static attribute channels apply to the surface configs only (the

@@ -57,6 +57,7 @@ class TrainConfig:
     schedule_k: float = 10.0  # seq2seq teacher-forcing decay constant
     # UNet encoder widths (model.py:158 defaults); narrower for CI/fixtures
     unet_features: Tuple[int, ...] = (64, 128, 256, 512)
+    pix2pix_features: int = 64  # Generator base width (model.py:68)
 
     def __post_init__(self):
         if len(self.hidden_channels) != self.num_layers:
@@ -154,6 +155,8 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--schedule-k", type=float, default=d["schedule_k"].default)
     p.add_argument("--unet-features", nargs="+", type=int,
                    default=d["unet_features"].default)
+    p.add_argument("--pix2pix-features", type=int,
+                   default=d["pix2pix_features"].default)
     ns = p.parse_args(argv)
     kwargs = {k.replace("-", "_"): v for k, v in vars(ns).items()}
     for k in ("hidden_channels", "kernel_size", "input_size", "scheduler_config",

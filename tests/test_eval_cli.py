@@ -213,3 +213,35 @@ def test_unet6_feedback_closed_loop_round_trip(tmp_path):
     assert "closed-loop" in out.stdout
     assert "temporal R2" in out.stdout
     assert os.path.exists(os.path.join(snap, "test-results.npy"))
+
+
+def test_pix2pix_cli_round_trip(tmp_path):
+    """The third model family dispatch (train.py:35-39 trains the
+    Generator alone with MSE+L1): train CLI -> configurations.json ->
+    evalx, at the canonical 90x144 grid padded to 256x256 (the Generator
+    needs 2^7-divisible inputs) with a narrow --pix2pix-features."""
+    snap = str(tmp_path / "snap_p2p")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    run(
+        [
+            sys.executable, "-m", "nasa_niswan_tpu.train",
+            "--model", "PIX2PIX-evalcli", "--in-channels", "5",
+            "--pix2pix-features", "4", "--num-epochs", "1",
+            "--batch-size", "2", "--input-size", "256", "256",
+            "--synthetic-steps", "24", "--synthetic-grid", "90", "144",
+            "--snapshot-dir", snap, "--checkpoint-every", "1",
+        ],
+        env,
+    )
+    assert json.load(
+        open(os.path.join(snap, "configurations.json"))
+    )["pix2pix_features"] == 4
+    out = run(
+        [sys.executable, "-m", "nasa_niswan_tpu.evalx", "--run-dir", snap],
+        env,
+    )
+    assert "temporal R2" in out.stdout
+    assert os.path.exists(os.path.join(snap, "test-results.npy"))
