@@ -338,3 +338,100 @@ def make_sharded_rollout_fn(
         return rollout(params, forcings, initial_state)
 
     return rollout_with_placement
+
+
+def make_sharded_multitracer_rollout(
+    config: ConvLSTMConfig,
+    normalizers,
+    mesh: Mesh,
+    *,
+    padded_shape: Tuple[int, int] = (100, 154),
+    grid_shape: Tuple[int, int] = (90, 144),
+    cell_impl: Optional[str] = None,
+):
+    """BASELINE config #5 verbatim: S per-species emulators served in ONE
+    compiled program with the global grid sharded over the mesh.
+
+    Composes the explicit-halo sharded scan (make_sharded_rollout_fn's
+    body — fused pallas2 cells on local tiles on TPU) with the
+    multitracer trace-time species unroll (rollout/multitracer.py: never
+    vmap over parameters — vmapped conv filters lower as ~6x-slower
+    grouped convs).  S shard_map scans live in one jitted program; XLA
+    schedules them back to back on the same mesh.
+
+    Contract mirrors rollout/multitracer.make_multitracer_rollout:
+    ``rollout(stacked_params, forcings, state=None)`` with forcings
+    (S, B, T, C, H, W) raw, returning ((S, B, T, h, w) physical-unit
+    predictions, stacked (S, ...) carry) for chunked decadal
+    continuation; the carry stays sharded (dp, lat, lon) on device.
+    """
+    from nasa_niswan_tpu.rollout.autoregressive import _prep_frame
+    from nasa_niswan_tpu.rollout.multitracer import _split_state, _stack_states
+
+    impl = cell_impl if cell_impl is not None else config.cell_impl
+    if impl == "auto":
+        impl = "pallas2" if jax.default_backend() == "tpu" else "xla"
+    if impl != config.cell_impl:
+        import dataclasses
+
+        config = dataclasses.replace(config, cell_impl=impl)
+    H, W = padded_shape
+    S = len(normalizers)
+    norms = [
+        (
+            jnp.asarray(n.x_mean, jnp.float32),
+            jnp.asarray(n.x_std, jnp.float32),
+            jnp.float32(n.y_mean),
+            jnp.float32(n.y_std),
+        )
+        for n in normalizers
+    ]
+
+    body = jax.shard_map(
+        lambda params, xs, state: _local_convlstm_forward(
+            params, xs, state, config, collect_taps=True
+        ),
+        mesh=mesh,
+        in_specs=(P(), P("dp", None, "lat", "lon", None), _state_specs(config)),
+        out_specs=(
+            P("dp", "lat", "lon", None),
+            P(None, "dp", "lat", "lon", None),
+            _state_specs(config),
+        ),
+        check_vma=config.cell_impl != "pallas2",
+    )
+
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    cast = compute_dtype if compute_dtype != jnp.float32 else None
+
+    @jax.jit
+    def rollout(stacked_params, forcings, state=None):
+        B = forcings.shape[1]
+        preds_out, states_out = [], []
+        for s in range(S):  # trace-time unroll, one program
+            params_s = jax.tree.map(lambda a: a[s], stacked_params)
+            st = _split_state(state, s)
+            if st is None:
+                st = [
+                    (jnp.zeros((B, H, W, hc), jnp.float32),
+                     jnp.zeros((B, H, W, hc), jnp.float32))
+                    for hc in config.hidden_channels
+                ]
+            x_mean, x_std, y_mean, y_std = norms[s]
+            norm_s = Normalizer(x_mean, x_std, y_mean, y_std)
+            xs = _prep_frame(forcings[s], norm_s, None, padded_shape, cast)
+            _, taps, st2 = body(params_s, xs, st)
+            preds = jnp.moveaxis(taps[..., 0], 0, 1)  # (B, T, H, W)
+            preds = crop_to_grid(preds, grid_shape) * y_std + y_mean
+            preds_out.append(preds)
+            states_out.append(st2)
+        return jnp.stack(preds_out), _stack_states(states_out)
+
+    def rollout_with_placement(stacked_params, forcings, state=None):
+        forcings = jax.device_put(
+            forcings,
+            NamedSharding(mesh, P(None, "dp", None, None, "lat", "lon")),
+        )
+        return rollout(stacked_params, forcings, state)
+
+    return rollout_with_placement

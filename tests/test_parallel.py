@@ -328,3 +328,66 @@ def test_dp_shardmap_matches_gspmd(tiny_setup):
         assert float(mg["r2"]) == pytest.approx(float(mm["r2"]), abs=1e-5)
         for a, b in zip(jax.tree.leaves(pg), jax.tree.leaves(pm)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol)
+
+
+def test_sharded_multitracer_rollout_parity_and_continuation(rng):
+    """BASELINE config #5 composed end to end: S species unrolled at trace
+    time INSIDE one jitted program with the grid sharded over the mesh.
+    Must match (a) the per-species sharded rollouts and (b) the unsharded
+    multitracer rollout, including chunked carry continuation."""
+    from nasa_niswan_tpu.data.dataset import Normalizer
+    from nasa_niswan_tpu.parallel.spatial import (
+        make_sharded_multitracer_rollout,
+        make_sharded_rollout_fn,
+    )
+    from nasa_niswan_tpu.rollout.multitracer import (
+        make_multitracer_rollout,
+        stack_params,
+    )
+
+    cfg = ConvLSTMConfig(5, (8, 8), (5, 3))
+    S = 2
+    params_list = [
+        convlstm_init(jax.random.PRNGKey(i), cfg) for i in range(S)
+    ]
+    norms = [
+        Normalizer(
+            x_mean=np.zeros(5, np.float32),
+            x_std=np.ones(5, np.float32) * (1.0 + 0.2 * i),
+            y_mean=0.3 * i, y_std=1.5 + i,
+        )
+        for i in range(S)
+    ]
+    grid, padded = (24, 36), (32, 44)
+    f1 = rng.standard_normal((S, 2, 4, 5, *grid)).astype(np.float32)
+    f2 = rng.standard_normal((S, 2, 4, 5, *grid)).astype(np.float32)
+
+    mesh = make_mesh(dp=2, lat=2, lon=2)
+    stacked = stack_params(params_list)
+    mt = make_sharded_multitracer_rollout(
+        cfg, norms, mesh, padded_shape=padded, grid_shape=grid
+    )
+    got1, st = mt(stacked, f1)
+    got2, _ = mt(stacked, f2, st)
+    assert got1.shape == (S, 2, 4, *grid)
+
+    # (a) per-species sharded rollouts
+    for s in range(S):
+        sh = make_sharded_rollout_fn(
+            cfg, norms[s], mesh, padded_shape=padded, grid_shape=grid
+        )
+        w1, ss = sh(params_list[s], f1[s])
+        w2, _ = sh(params_list[s], f2[s], ss)
+        np.testing.assert_allclose(np.asarray(got1[s]), np.asarray(w1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got2[s]), np.asarray(w2),
+                                   atol=1e-5)
+
+    # (b) the unsharded multitracer program
+    ref = make_multitracer_rollout(
+        cfg, norms, padded_shape=padded, grid_shape=grid, cell_impl=None
+    )
+    r1, rst = ref(stacked, jnp.asarray(f1))
+    r2, _ = ref(stacked, jnp.asarray(f2), rst)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(r1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(r2), atol=1e-5)
