@@ -159,11 +159,15 @@ def _local_convlstm_forward(
     dt = jnp.dtype(compute_dtype or config.compute_dtype)
     fused = config.cell_impl == "pallas2"
     state = [tuple(s) for s in state]
-    xs = jnp.moveaxis(x_local, 1, 0)
+    # tuple inputs (shared met, per-species emission — the multitracer
+    # de-duplication): scan over the parts and concat per STEP, so the
+    # full-T concatenated tensor is never materialized per species
+    parts = x_local if isinstance(x_local, tuple) else (x_local,)
+    xs = tuple(jnp.moveaxis(p, 1, 0) for p in parts)
 
     def step(carry, x_t):
         new_carry = []
-        inp = x_t
+        inp = x_t[0] if len(x_t) == 1 else jnp.concatenate(x_t, axis=-1)
         for li, hc in enumerate(config.hidden_channels):
             k = config.kernel_sizes[li]
             cell = params["cells"][li]
@@ -433,5 +437,114 @@ def make_sharded_multitracer_rollout(
             NamedSharding(mesh, P(None, "dp", None, None, "lat", "lon")),
         )
         return rollout(stacked_params, forcings, state)
+
+    return rollout_with_placement
+
+
+def make_sharded_multitracer_rollout_shared(
+    config: ConvLSTMConfig,
+    normalizers,
+    mesh: Mesh,
+    *,
+    padded_shape: Tuple[int, int] = (100, 154),
+    grid_shape: Tuple[int, int] = (90, 144),
+    cell_impl: Optional[str] = None,
+):
+    """Sharded multitracer with DE-DUPLICATED forcings — the production
+    shape of config #5 (what scripts/run_decadal_rollout.py serves):
+
+        met:       (B, T, C-1, H, W)  shared u/v/omega/prec[, levels]
+        emissions: (S, B, T, H, W)    per-species source fields
+
+    The shared meteorology is normalized/padded ONCE and every species'
+    sharded scan consumes the same device tensor; each scan step concats
+    the species' emission channel per STEP inside the shard_map body
+    (never a full-T per-species copy).  HBM per added species = emission
+    stream + carry, like rollout/multitracer.make_multitracer_rollout_
+    shared, but with the grid sharded over the mesh and the fused pallas2
+    cells on local tiles on TPU.
+
+    Returns ``rollout(stacked_params, met, emissions, state=None) ->
+    ((S, B, T, h, w) physical-unit predictions, stacked carry)``.
+    """
+    impl = cell_impl if cell_impl is not None else config.cell_impl
+    if impl == "auto":
+        impl = "pallas2" if jax.default_backend() == "tpu" else "xla"
+    if impl != config.cell_impl:
+        import dataclasses
+
+        config = dataclasses.replace(config, cell_impl=impl)
+    H, W = padded_shape
+    S = len(normalizers)
+    met_mean = jnp.asarray(normalizers[0].x_mean[:-1], jnp.float32)
+    met_std = jnp.asarray(normalizers[0].x_std[:-1], jnp.float32)
+    emis_stats = [
+        (
+            jnp.float32(n.x_mean[-1]),
+            jnp.float32(n.x_std[-1]),
+            jnp.float32(n.y_mean),
+            jnp.float32(n.y_std),
+        )
+        for n in normalizers
+    ]
+
+    frame_spec = P("dp", None, "lat", "lon", None)
+    body = jax.shard_map(
+        lambda params, met_xs, e_xs, state: _local_convlstm_forward(
+            params, (met_xs, e_xs), state, config, collect_taps=True
+        ),
+        mesh=mesh,
+        in_specs=(P(), frame_spec, frame_spec, _state_specs(config)),
+        out_specs=(
+            P("dp", "lat", "lon", None),
+            P(None, "dp", "lat", "lon", None),
+            _state_specs(config),
+        ),
+        check_vma=config.cell_impl != "pallas2",
+    )
+
+    compute_dtype = jnp.dtype(config.compute_dtype)
+
+    @jax.jit
+    def rollout(stacked_params, met, emissions, state=None):
+        from nasa_niswan_tpu.core.padding import pad_geo
+        from nasa_niswan_tpu.rollout.multitracer import (
+            _split_state,
+            _stack_states,
+        )
+
+        B = emissions.shape[1]
+        m = (met - met_mean.reshape(-1, 1, 1)) / met_std.reshape(-1, 1, 1)
+        m = m.astype(compute_dtype)
+        met_xs = jnp.moveaxis(pad_geo(m, padded_shape), -3, -1)
+        preds_out, states_out = [], []
+        for s in range(S):  # trace-time unroll; met_xs shared by all scans
+            params_s = jax.tree.map(lambda a: a[s], stacked_params)
+            st = _split_state(state, s)
+            if st is None:
+                st = [
+                    (jnp.zeros((B, H, W, hc), jnp.float32),
+                     jnp.zeros((B, H, W, hc), jnp.float32))
+                    for hc in config.hidden_channels
+                ]
+            e_mean, e_std, y_mean, y_std = emis_stats[s]
+            e = ((emissions[s] - e_mean) / e_std).astype(compute_dtype)
+            e_xs = pad_geo(e, padded_shape)[..., None]  # (B, T, H, W, 1)
+            _, taps, st2 = body(params_s, met_xs, e_xs, st)
+            preds = jnp.moveaxis(taps[..., 0], 0, 1)
+            preds = crop_to_grid(preds, grid_shape) * y_std + y_mean
+            preds_out.append(preds)
+            states_out.append(st2)
+        return jnp.stack(preds_out), _stack_states(states_out)
+
+    def rollout_with_placement(stacked_params, met, emissions, state=None):
+        met = jax.device_put(
+            met, NamedSharding(mesh, P("dp", None, None, "lat", "lon"))
+        )
+        emissions = jax.device_put(
+            emissions,
+            NamedSharding(mesh, P(None, "dp", None, "lat", "lon")),
+        )
+        return rollout(stacked_params, met, emissions, state)
 
     return rollout_with_placement

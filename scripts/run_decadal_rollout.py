@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=8,
                     help="epoch number of the checkpoint to load")
     ap.add_argument("--out", default="/tmp/decadal_demo")
+    ap.add_argument("--sharded", nargs=2, type=int, metavar=("LAT", "LON"),
+                    default=None,
+                    help="shard the grid (lat, lon) over the device mesh "
+                         "(parallel/spatial.make_sharded_multitracer_"
+                         "rollout_shared) — config #5's full composition; "
+                         "default: single-device multitracer program")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -92,9 +98,24 @@ def main():
         )
         params_list.append(params)
     stacked = stack_params(params_list)
-    rollout = make_multitracer_rollout_shared(
-        cfg, norms, padded_shape=(100, 154), grid_shape=(90, 144)
-    )
+    if args.sharded:
+        from nasa_niswan_tpu.parallel.mesh import make_mesh
+        from nasa_niswan_tpu.parallel.spatial import (
+            make_sharded_multitracer_rollout_shared,
+        )
+
+        lat, lon = args.sharded
+        mesh = make_mesh(
+            dp=1, lat=lat, lon=lon, devices=jax.devices()[: lat * lon]
+        )
+        print(f"sharded serving mesh: lat={lat} lon={lon}", flush=True)
+        rollout = make_sharded_multitracer_rollout_shared(
+            cfg, norms, mesh, padded_shape=(100, 154), grid_shape=(90, 144)
+        )
+    else:
+        rollout = make_multitracer_rollout_shared(
+            cfg, norms, padded_shape=(100, 154), grid_shape=(90, 144)
+        )
 
     # the serving year: a FRESH realization of the same climate
     t0 = time.time()

@@ -391,3 +391,74 @@ def test_sharded_multitracer_rollout_parity_and_continuation(rng):
     r2, _ = ref(stacked, jnp.asarray(f2), rst)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(r1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(r2), atol=1e-5)
+
+
+def test_sharded_multitracer_shared_met_parity(rng):
+    """The de-duplicated-forcings sharded multitracer (shared met tensor,
+    per-step emission concat inside the shard_map body) matches both the
+    per-species-forcings sharded program and the unsharded shared-met
+    program, incl. carry continuation."""
+    from nasa_niswan_tpu.data.dataset import Normalizer
+    from nasa_niswan_tpu.parallel.spatial import (
+        make_sharded_multitracer_rollout,
+        make_sharded_multitracer_rollout_shared,
+    )
+    from nasa_niswan_tpu.rollout.multitracer import (
+        make_multitracer_rollout_shared,
+        stack_params,
+    )
+
+    cfg = ConvLSTMConfig(5, (8, 8), (5, 3))
+    S = 2
+    params_list = [
+        convlstm_init(jax.random.PRNGKey(i), cfg) for i in range(S)
+    ]
+    # met stats are SHARED across species (same variables; species JSONs
+    # differ only in the src/conc slots) — the shared-met program relies
+    # on that and uses species 0's met constants
+    met_mean = np.linspace(-0.1, 0.2, 4).astype(np.float32)
+    met_std = np.linspace(0.9, 1.3, 4).astype(np.float32)
+    norms = [
+        Normalizer(
+            x_mean=np.concatenate([met_mean, [0.05 * (i + 1)]]).astype(
+                np.float32
+            ),
+            x_std=np.concatenate([met_std, [1.0 + 0.3 * i]]).astype(
+                np.float32
+            ),
+            y_mean=0.2 * i, y_std=1.0 + i,
+        )
+        for i in range(S)
+    ]
+    grid, padded = (24, 36), (32, 44)
+    met1 = rng.standard_normal((2, 4, 4, *grid)).astype(np.float32)
+    met2 = rng.standard_normal((2, 4, 4, *grid)).astype(np.float32)
+    em1 = rng.standard_normal((S, 2, 4, *grid)).astype(np.float32)
+    em2 = rng.standard_normal((S, 2, 4, *grid)).astype(np.float32)
+
+    mesh = make_mesh(dp=2, lat=2, lon=2)
+    stacked = stack_params(params_list)
+    sh = make_sharded_multitracer_rollout_shared(
+        cfg, norms, mesh, padded_shape=padded, grid_shape=grid
+    )
+    got1, st = sh(stacked, met1, em1)
+    got2, _ = sh(stacked, met2, em2, st)
+
+    # (a) unsharded shared-met program
+    ref = make_multitracer_rollout_shared(
+        cfg, norms, padded_shape=padded, grid_shape=grid, cell_impl=None
+    )
+    r1, rst = ref(stacked, jnp.asarray(met1), jnp.asarray(em1))
+    r2, _ = ref(stacked, jnp.asarray(met2), jnp.asarray(em2), rst)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(r1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(r2), atol=1e-5)
+
+    # (b) the per-species-forcings sharded program on equivalent inputs
+    full1 = np.concatenate(
+        [np.broadcast_to(met1, (S, *met1.shape)), em1[:, :, :, None]], axis=3
+    )
+    mt = make_sharded_multitracer_rollout(
+        cfg, norms, mesh, padded_shape=padded, grid_shape=grid
+    )
+    p1, _ = mt(stacked, full1)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(p1), atol=1e-5)
