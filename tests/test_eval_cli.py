@@ -218,7 +218,7 @@ def test_unet6_feedback_closed_loop_round_trip(tmp_path):
 def test_pix2pix_cli_round_trip(tmp_path):
     """The third model family dispatch (train.py:35-39 trains the
     Generator alone with MSE+L1): train CLI -> configurations.json ->
-    evalx, at the canonical 90x144 grid padded to 256x256 (the Generator
+    evalx, at the canonical 90x144 grid padded to 128x256 (the Generator
     needs 2^7-divisible inputs) with a narrow --pix2pix-features."""
     snap = str(tmp_path / "snap_p2p")
     env = dict(os.environ)
@@ -230,7 +230,7 @@ def test_pix2pix_cli_round_trip(tmp_path):
             sys.executable, "-m", "nasa_niswan_tpu.train",
             "--model", "PIX2PIX-evalcli", "--in-channels", "5",
             "--pix2pix-features", "4", "--num-epochs", "1",
-            "--batch-size", "2", "--input-size", "256", "256",
+            "--batch-size", "2", "--input-size", "128", "256",
             "--synthetic-steps", "24", "--synthetic-grid", "90", "144",
             "--snapshot-dir", snap, "--checkpoint-every", "1",
         ],
