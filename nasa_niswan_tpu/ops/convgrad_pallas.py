@@ -45,39 +45,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nasa_niswan_tpu.ops.conv import conv2d
 from nasa_niswan_tpu.ops.convlstm_pallas2 import (
-    _build_slab,
     _deep_tap_conv,
     _elementwise_bwd,
-    _lhs_cat,
+    _fold_lhs,
     _margin_mask,
     _pick_row_tile,
     _round_up,
     get_batch_block,
 )
-
-
-def _fold_lhs(prev_ref, cur_ref, next_ref, k, th, wp, p, ti, n_tiles, bb):
-    """The (bb*th*wp, k*C) deep-tap operand: per-batch haloed slabs
-    concatenated along the matmul row axis (bb=1 = the original layout).
-    Roll wraparound across batch-slab boundaries lands only in margin
-    columns, the same invariant that covers tile boundaries."""
-    if bb == 1:
-        return _lhs_cat(
-            _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles),
-            k, th, wp,
-        )
-    return jnp.concatenate(
-        [
-            _lhs_cat(
-                _build_slab(
-                    prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles, b
-                ),
-                k, th, wp,
-            )
-            for b in range(bb)
-        ],
-        axis=0,
-    )
 
 
 def _conv_same_kernel(prev_ref, cur_ref, next_ref, w_ref, out_ref, *,

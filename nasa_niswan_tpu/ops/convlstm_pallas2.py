@@ -61,12 +61,43 @@ _BATCH_BLOCK = 1
 
 
 def set_batch_block(n: int) -> None:
+    """bb is baked into traced programs at trace time; changing it clears
+    the jit caches so an in-process A/B can never silently reuse an
+    executable compiled under the previous value."""
     global _BATCH_BLOCK
-    _BATCH_BLOCK = max(1, int(n))
+    n = max(1, int(n))
+    if n != _BATCH_BLOCK:
+        _BATCH_BLOCK = n
+        jax.clear_caches()
 
 
 def get_batch_block() -> int:
     return _BATCH_BLOCK
+
+
+def _fold_lhs(prev_ref, cur_ref, next_ref, k, th, wp, p, ti, n_tiles, bb):
+    """The (bb*th*wp, k*C) deep-tap operand: per-batch haloed slabs
+    concatenated along the matmul row axis (bb=1 = the original layout).
+    Roll wraparound across batch-slab boundaries lands only in margin
+    columns, the same invariant that covers tile boundaries.  Shared by
+    the forward kernel and both backward kernels (convgrad_pallas)."""
+    if bb == 1:
+        return _lhs_cat(
+            _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles),
+            k, th, wp,
+        )
+    return jnp.concatenate(
+        [
+            _lhs_cat(
+                _build_slab(
+                    prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles, b
+                ),
+                k, th, wp,
+            )
+            for b in range(bb)
+        ],
+        axis=0,
+    )
 
 
 def col_margin(kernel_sizes) -> int:
@@ -194,21 +225,7 @@ def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
     # k matmuls per cell instead of k*k shallow ones keeps the MXU
     # pipeline fed (measured: the K=C-per-tap form spends ~half its time
     # outside the systolic array at these shapes).
-    lhs = jnp.concatenate(
-        [
-            _lhs_cat(
-                _build_slab(
-                    prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles, b
-                ),
-                k, th, wp,
-            )
-            for b in range(bb)
-        ],
-        axis=0,
-    ) if bb > 1 else _lhs_cat(
-        _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles),
-        k, th, wp,
-    )
+    lhs = _fold_lhs(prev_ref, cur_ref, next_ref, k, th, wp, p, ti, n_tiles, bb)
     acc = _deep_tap_conv(lhs, w_ref, k, th * bb, wp, 4 * hidden)
     if has_xg:
         acc = acc + xg_ref[:].reshape(bb * th * wp, 4 * hidden).astype(

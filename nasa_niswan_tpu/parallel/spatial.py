@@ -246,6 +246,61 @@ def convlstm_apply_sharded(
     )(params, x)
 
 
+def _resolve_sharded_impl(
+    config: ConvLSTMConfig, cell_impl: Optional[str]
+) -> ConvLSTMConfig:
+    """Serving-cell policy for the shard_map paths: 'auto' means the fused
+    pallas2 kernel on TPU (shard-local tiles are exactly where it wins —
+    small per-shard batch, explicit halos already exchanged), XLA on CPU."""
+    impl = cell_impl if cell_impl is not None else config.cell_impl
+    if impl == "auto":
+        impl = "pallas2" if jax.default_backend() == "tpu" else "xla"
+    if impl != config.cell_impl:
+        import dataclasses
+
+        config = dataclasses.replace(config, cell_impl=impl)
+    return config
+
+
+def _make_scan_body(config: ConvLSTMConfig, mesh: Mesh, *, n_inputs: int = 1):
+    """The explicit-halo shard_map scan with per-step taps, shared by the
+    single-tracer and both multitracer rollout builders.  ``n_inputs`` > 1
+    passes that many sharded (B, T, h, w, C_i) frame tensors, concatenated
+    per step inside the body (the shared-met de-duplication)."""
+    frame_spec = P("dp", None, "lat", "lon", None)
+
+    def fn(params, *args):
+        *xs_parts, state = args
+        x = xs_parts[0] if n_inputs == 1 else tuple(xs_parts)
+        return _local_convlstm_forward(
+            params, x, state, config, collect_taps=True
+        )
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), *([frame_spec] * n_inputs), _state_specs(config)),
+        out_specs=(
+            P("dp", "lat", "lon", None),
+            P(None, "dp", "lat", "lon", None),
+            _state_specs(config),
+        ),
+        # interpret-mode pallas_call doesn't thread varying-manual-axes
+        # through its internal dynamic_slices; disable the vma typecheck
+        # for the fused-kernel path (JAX's documented workaround) — the
+        # XLA path keeps full checking
+        check_vma=config.cell_impl != "pallas2",
+    )
+
+
+def _zero_rollout_state(config: ConvLSTMConfig, B: int, H: int, W: int):
+    return [
+        (jnp.zeros((B, H, W, hc), jnp.float32),
+         jnp.zeros((B, H, W, hc), jnp.float32))
+        for hc in config.hidden_channels
+    ]
+
+
 def make_sharded_rollout_fn(
     config: ConvLSTMConfig,
     normalizer: Normalizer,
@@ -277,15 +332,7 @@ def make_sharded_rollout_fn(
     from nasa_niswan_tpu.data.dataset import zscore_static
     from nasa_niswan_tpu.rollout.autoregressive import _prep_frame
 
-    impl = cell_impl if cell_impl is not None else config.cell_impl
-    if impl == "auto":
-        # shard-local tiles are exactly where the fused kernel wins (small
-        # per-shard batch, explicit halos already exchanged); XLA on CPU
-        impl = "pallas2" if jax.default_backend() == "tpu" else "xla"
-    if impl != config.cell_impl:
-        import dataclasses
-
-        config = dataclasses.replace(config, cell_impl=impl)
+    config = _resolve_sharded_impl(config, cell_impl)
     static_z = None if static is None else zscore_static(static)
     H, W = padded_shape
     state_sharding = jax.tree.map(
@@ -294,33 +341,13 @@ def make_sharded_rollout_fn(
         is_leaf=lambda s: isinstance(s, P),
     )
 
-    body = jax.shard_map(
-        lambda params, xs, state: _local_convlstm_forward(
-            params, xs, state, config, collect_taps=True
-        ),
-        mesh=mesh,
-        in_specs=(P(), P("dp", None, "lat", "lon", None), _state_specs(config)),
-        out_specs=(
-            P("dp", "lat", "lon", None),
-            P(None, "dp", "lat", "lon", None),
-            _state_specs(config),
-        ),
-        # interpret-mode pallas_call doesn't thread varying-manual-axes
-        # through its internal dynamic_slices; disable the vma typecheck
-        # for the fused-kernel path (JAX's documented workaround) — the
-        # XLA path keeps full checking
-        check_vma=config.cell_impl != "pallas2",
-    )
+    body = _make_scan_body(config, mesh)
 
     @jax.jit
     def rollout(params, forcings, initial_state=None):
         B = forcings.shape[0]
         if initial_state is None:
-            initial_state = [
-                (jnp.zeros((B, H, W, hc), jnp.float32),
-                 jnp.zeros((B, H, W, hc), jnp.float32))
-                for hc in config.hidden_channels
-            ]
+            initial_state = _zero_rollout_state(config, B, H, W)
         compute_dtype = jnp.dtype(config.compute_dtype)
         cast = compute_dtype if compute_dtype != jnp.float32 else None
         xs = _prep_frame(forcings, normalizer, static_z, padded_shape, cast)
@@ -372,13 +399,7 @@ def make_sharded_multitracer_rollout(
     from nasa_niswan_tpu.rollout.autoregressive import _prep_frame
     from nasa_niswan_tpu.rollout.multitracer import _split_state, _stack_states
 
-    impl = cell_impl if cell_impl is not None else config.cell_impl
-    if impl == "auto":
-        impl = "pallas2" if jax.default_backend() == "tpu" else "xla"
-    if impl != config.cell_impl:
-        import dataclasses
-
-        config = dataclasses.replace(config, cell_impl=impl)
+    config = _resolve_sharded_impl(config, cell_impl)
     H, W = padded_shape
     S = len(normalizers)
     norms = [
@@ -391,19 +412,13 @@ def make_sharded_multitracer_rollout(
         for n in normalizers
     ]
 
-    body = jax.shard_map(
-        lambda params, xs, state: _local_convlstm_forward(
-            params, xs, state, config, collect_taps=True
-        ),
-        mesh=mesh,
-        in_specs=(P(), P("dp", None, "lat", "lon", None), _state_specs(config)),
-        out_specs=(
-            P("dp", "lat", "lon", None),
-            P(None, "dp", "lat", "lon", None),
-            _state_specs(config),
-        ),
-        check_vma=config.cell_impl != "pallas2",
-    )
+    body = _make_scan_body(config, mesh)
+    # the stacked (S, B, H, W, hc) carry: species axis replicated, grid
+    # axes on the mesh
+    stacked_state_sharding = [
+        (NamedSharding(mesh, P(None, "dp", "lat", "lon", None)),) * 2
+        for _ in config.hidden_channels
+    ]
 
     compute_dtype = jnp.dtype(config.compute_dtype)
     cast = compute_dtype if compute_dtype != jnp.float32 else None
@@ -416,11 +431,7 @@ def make_sharded_multitracer_rollout(
             params_s = jax.tree.map(lambda a: a[s], stacked_params)
             st = _split_state(state, s)
             if st is None:
-                st = [
-                    (jnp.zeros((B, H, W, hc), jnp.float32),
-                     jnp.zeros((B, H, W, hc), jnp.float32))
-                    for hc in config.hidden_channels
-                ]
+                st = _zero_rollout_state(config, B, H, W)
             x_mean, x_std, y_mean, y_std = norms[s]
             norm_s = Normalizer(x_mean, x_std, y_mean, y_std)
             xs = _prep_frame(forcings[s], norm_s, None, padded_shape, cast)
@@ -436,6 +447,12 @@ def make_sharded_multitracer_rollout(
             forcings,
             NamedSharding(mesh, P(None, "dp", None, None, "lat", "lon")),
         )
+        if state is not None:
+            # a host-restored stacked carry gets mesh placement up front
+            # (like make_sharded_rollout_fn), not a per-chunk reshard
+            state = jax.device_put(
+                [tuple(s) for s in state], stacked_state_sharding
+            )
         return rollout(stacked_params, forcings, state)
 
     return rollout_with_placement
@@ -467,13 +484,7 @@ def make_sharded_multitracer_rollout_shared(
     Returns ``rollout(stacked_params, met, emissions, state=None) ->
     ((S, B, T, h, w) physical-unit predictions, stacked carry)``.
     """
-    impl = cell_impl if cell_impl is not None else config.cell_impl
-    if impl == "auto":
-        impl = "pallas2" if jax.default_backend() == "tpu" else "xla"
-    if impl != config.cell_impl:
-        import dataclasses
-
-        config = dataclasses.replace(config, cell_impl=impl)
+    config = _resolve_sharded_impl(config, cell_impl)
     H, W = padded_shape
     S = len(normalizers)
     met_mean = jnp.asarray(normalizers[0].x_mean[:-1], jnp.float32)
@@ -488,20 +499,11 @@ def make_sharded_multitracer_rollout_shared(
         for n in normalizers
     ]
 
-    frame_spec = P("dp", None, "lat", "lon", None)
-    body = jax.shard_map(
-        lambda params, met_xs, e_xs, state: _local_convlstm_forward(
-            params, (met_xs, e_xs), state, config, collect_taps=True
-        ),
-        mesh=mesh,
-        in_specs=(P(), frame_spec, frame_spec, _state_specs(config)),
-        out_specs=(
-            P("dp", "lat", "lon", None),
-            P(None, "dp", "lat", "lon", None),
-            _state_specs(config),
-        ),
-        check_vma=config.cell_impl != "pallas2",
-    )
+    body = _make_scan_body(config, mesh, n_inputs=2)
+    stacked_state_sharding = [
+        (NamedSharding(mesh, P(None, "dp", "lat", "lon", None)),) * 2
+        for _ in config.hidden_channels
+    ]
 
     compute_dtype = jnp.dtype(config.compute_dtype)
 
@@ -522,11 +524,7 @@ def make_sharded_multitracer_rollout_shared(
             params_s = jax.tree.map(lambda a: a[s], stacked_params)
             st = _split_state(state, s)
             if st is None:
-                st = [
-                    (jnp.zeros((B, H, W, hc), jnp.float32),
-                     jnp.zeros((B, H, W, hc), jnp.float32))
-                    for hc in config.hidden_channels
-                ]
+                st = _zero_rollout_state(config, B, H, W)
             e_mean, e_std, y_mean, y_std = emis_stats[s]
             e = ((emissions[s] - e_mean) / e_std).astype(compute_dtype)
             e_xs = pad_geo(e, padded_shape)[..., None]  # (B, T, H, W, 1)
@@ -545,6 +543,10 @@ def make_sharded_multitracer_rollout_shared(
             emissions,
             NamedSharding(mesh, P(None, "dp", None, "lat", "lon")),
         )
+        if state is not None:
+            state = jax.device_put(
+                [tuple(s) for s in state], stacked_state_sharding
+            )
         return rollout(stacked_params, met, emissions, state)
 
     return rollout_with_placement

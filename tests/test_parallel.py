@@ -400,7 +400,6 @@ def test_sharded_multitracer_shared_met_parity(rng):
     program, incl. carry continuation."""
     from nasa_niswan_tpu.data.dataset import Normalizer
     from nasa_niswan_tpu.parallel.spatial import (
-        make_sharded_multitracer_rollout,
         make_sharded_multitracer_rollout_shared,
     )
     from nasa_niswan_tpu.rollout.multitracer import (
@@ -456,4 +455,3 @@ def test_sharded_multitracer_shared_met_parity(rng):
     # per-species-forcings equivalence is covered by
     # test_sharded_multitracer_rollout_parity_and_continuation (both match
     # the unsharded programs, which match each other on identical inputs)
-    del make_sharded_multitracer_rollout
