@@ -45,15 +45,30 @@ def _auto_backend() -> str:
     return jax.default_backend()
 
 
-def resolve_auto_impl(B: int, backend: Optional[str] = None) -> str:
+def resolve_auto_impl(
+    B: int, backend: Optional[str] = None, mode: str = "forward"
+) -> str:
     """The measured ``cell_impl='auto'`` policy, shared by training
     (``convlstm_apply``), serving (``rollout.resolve_cell_impl``) and the
-    seq2seq chunk (``rollout/seq2seq.py``): the fused pallas2 kernel wins
-    at B<=4 on TPU — 1.4x for both the forward and the BPTT training step
-    (scripts/bench_cell.py) — and XLA's batched conv wins beyond."""
+    seq2seq chunk (``rollout/seq2seq.py``).  Two crossovers, both from
+    scripts/bench_cell.py on a v5e chip:
+
+    - ``mode="forward"`` (serving / eval, no grads): the fused pallas2
+      kernel wins at B<=4 (1.35x at B=1) and XLA's batched conv wins
+      beyond (B=8 forward: 189 vs 142 ms).
+    - ``mode="train"`` (BPTT through the scan): the fused Pallas backward
+      (ops/convgrad_pallas.py) flips the large-batch case — pallas2 wins
+      at EVERY measured batch size (B=1 2.16x, B=2 1.90x, B=4 1.87x,
+      B=8 1.05x vs XLA autodiff+remat); XLA only beyond the measured
+      range (B>8, which the canonical configs never reach — B=8 already
+      needs remat to fit 16 GB HBM).
+    """
     if backend is None:
         backend = _auto_backend()
-    return "pallas2" if B <= 4 and backend == "tpu" else "xla"
+    if backend != "tpu":
+        return "xla"
+    limit = 8 if mode == "train" else 4
+    return "pallas2" if B <= limit else "xla"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -155,6 +170,7 @@ def convlstm_apply(
     initial_state: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
     return_state: bool = False,
     tap_fn=None,
+    auto_mode: str = "forward",
 ):
     """Run the ConvLSTM over a sequence.
 
@@ -180,6 +196,10 @@ def convlstm_apply(
         autoregressive rollout to continue a sequence; defaults to zeros
         (model.py:258-262).
       return_state: also return the final per-layer (h, c) carry.
+      auto_mode: which measured crossover ``cell_impl='auto'`` resolves
+        against — "forward" (no grads; serving/eval) or "train" (the
+        caller differentiates through this apply; the fused BPTT backward
+        moves the pallas2/XLA crossover).  See ``resolve_auto_impl``.
 
     Returns:
       pred (B, H, W, out_channels), optionally per-step taps and final state.
@@ -191,7 +211,9 @@ def convlstm_apply(
 
     cell_impl = config.cell_impl
     if cell_impl == "auto":
-        cell_impl = resolve_auto_impl(B)  # trace-time measured policy
+        # trace-time measured policy; auto_mode="train" when the caller
+        # will take grads (the BPTT crossover differs from the forward's)
+        cell_impl = resolve_auto_impl(B, mode=auto_mode)
 
     pallas2 = cell_impl == "pallas2"
     w_valid = W

@@ -102,10 +102,11 @@ def build_model(
             return convlstm_init(rng, cfg), None
 
         def apply(params, state, x, *, training=False, rng=None):
-            del training, rng
+            del rng
             return (
                 convlstm_apply(
-                    params, x, cfg, precompute_input_conv=precompute_input_conv
+                    params, x, cfg, precompute_input_conv=precompute_input_conv,
+                    auto_mode="train" if training else "forward",
                 ),
                 None,
             )

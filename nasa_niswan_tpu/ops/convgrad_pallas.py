@@ -51,6 +51,7 @@ from nasa_niswan_tpu.ops.convlstm_pallas2 import (
     _margin_mask,
     _pick_row_tile,
     _round_up,
+    bb_compiler_params,
     get_batch_block,
 )
 
@@ -123,6 +124,7 @@ def conv_same_v2(x, w2, k: int, o: int, w_valid: int, *,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, wp, Cout), jnp.float32, vma=vma),
         interpret=interpret,
+        **bb_compiler_params(bb),
     )(x, x, x, w2)
     return out
 
@@ -282,6 +284,7 @@ def fused_cell_bwd_v2(xh, c, dh, dc, w, b, k: int, o: int, w_valid: int, *,
             sds((1, 4 * hidden), jnp.float32),
         ],
         interpret=interpret,
+        **bb_compiler_params(bb),
     )(xh, xh, xh, c, dh, dc, w, b.reshape(1, -1))
     # dw rows are [dx, dy*C + c] -> (dy, dx, c, g)
     dw = dw.reshape(k, k, c_pad, 4 * hidden).transpose(1, 0, 2, 3)[:, :, :C]

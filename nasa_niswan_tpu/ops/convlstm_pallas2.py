@@ -75,6 +75,22 @@ def get_batch_block() -> int:
     return _BATCH_BLOCK
 
 
+def bb_compiler_params(bb: int) -> dict:
+    """pallas_call kwargs for a folded (bb>1) grid: raise the scoped-VMEM
+    ceiling.  Mosaic's default 16 MiB scoped limit rejects the folded
+    working set (measured: bb=2 at canonical shapes needs 20.2 MiB —
+    "Ran out of memory in memory space vmem while allocating on stack"),
+    while v5e's physical VMEM is 128 MiB.  Only folded grids opt in; the
+    default arena split serves bb=1 best."""
+    if bb <= 1:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
+    }
+
+
 def _fold_lhs(prev_ref, cur_ref, next_ref, k, th, wp, p, ti, n_tiles, bb):
     """The (bb*th*wp, k*C) deep-tap operand: per-batch haloed slabs
     concatenated along the matmul row axis (bb=1 = the original layout).
@@ -352,6 +368,7 @@ def fused_cell_forward_v2(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        **bb_compiler_params(bb),
     )(*args)
 
 

@@ -133,7 +133,7 @@ def _make_forward_chunk(
         if impl == "auto":
             from nasa_niswan_tpu.models.convlstm import resolve_auto_impl
 
-            impl = resolve_auto_impl(B)
+            impl = resolve_auto_impl(B, mode="train")
         if impl == "pallas2" and config.remat:
             from nasa_niswan_tpu.ops.convlstm_pallas2 import (
                 col_margin,

@@ -294,11 +294,22 @@ def test_cell_impl_auto_resolution(rng, monkeypatch):
     assert seen.get("pallas2"), "auto at B<=4 on TPU must pick pallas2"
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=1e-5)
 
-    # B>4 stays on the XLA cell
+    # B>4 stays on the XLA cell for forward-only traces
     seen.clear()
     x8 = jnp.asarray(rng.standard_normal((8, 2, 16, 24, 5)).astype(np.float32))
     mc.convlstm_apply(params, x8, auto)
     assert "pallas2" not in seen
+
+    # ... but the TRAINING crossover differs: the fused BPTT backward wins
+    # at every measured batch size, so auto_mode="train" keeps pallas2
+    # through B=8 (and only falls back to XLA beyond the measured range)
+    seen.clear()
+    mc.convlstm_apply(params, x8, auto, auto_mode="train")
+    assert seen.get("pallas2"), "train-mode auto at B=8 on TPU must pick pallas2"
+    assert mc.resolve_auto_impl(8, backend="tpu") == "xla"
+    assert mc.resolve_auto_impl(8, backend="tpu", mode="train") == "pallas2"
+    assert mc.resolve_auto_impl(9, backend="tpu", mode="train") == "xla"
+    assert mc.resolve_auto_impl(1, backend="cpu", mode="train") == "xla"
 
 
 @pytest.mark.parametrize(
