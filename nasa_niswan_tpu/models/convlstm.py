@@ -90,6 +90,10 @@ class ConvLSTMConfig:
     bptt_bwd: str = "fused"  # pallas2+remat BPTT backward: "fused" (Pallas
     # backward kernels, no forward replay — ops/convgrad_pallas.py) |
     # "xla" (emit-gates replay + XLA conv grads, the round-2 strategy)
+    split_xh: bool = False  # pallas2 only: pass x and h to the kernel as
+    # separate operands and assemble the [x; h] slab in VMEM instead of a
+    # per-step HBM concat+pad (identical matmul shapes; A/B via
+    # scripts/bench_cell.py --split-xh)
 
     def __post_init__(self):
         if len(self.hidden_channels) != len(self.kernel_sizes):
@@ -239,7 +243,8 @@ def convlstm_apply(
         W = wp
 
         cell_step = lambda cell, xt, h, c, k, dt, pre=False: cell_step_pallas2(
-            cell, xt, h, c, k, dt, o2, w_valid, x_already_conved=pre
+            cell, xt, h, c, k, dt, o2, w_valid, x_already_conved=pre,
+            split=config.split_xh,
         )
     elif cell_impl == "pallas":
         from nasa_niswan_tpu.ops.convlstm_pallas import cell_step_pallas
@@ -306,6 +311,7 @@ def convlstm_apply(
             config.compute_dtype,
             config.scan_unroll,
             config.bptt_bwd,
+            config.split_xh,
         )
         return _finish(
             final_state, None, params, config, compute_dtype,

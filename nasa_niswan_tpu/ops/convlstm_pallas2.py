@@ -199,6 +199,29 @@ def _deep_tap_conv(lhs_cat, w_ref, k, th, wp, n_out):
     return acc
 
 
+def _finish_cell(gates, c_ref, h_out_ref, c_out_ref, g_out_ref,
+                 hidden: int, th: int, wp: int, o: int, w_valid: int):
+    """Shared kernel epilogue: gate nonlinearities + state update
+    (reference model.py:221-229) and the margin re-zeroing that carries the
+    padded-column invariant to the next step.  ``gates`` is (bb, th, wp,
+    4*hidden) f32 pre-activation."""
+    if g_out_ref is not None:
+        # margin values are roll/conv-edge garbage but the VJP masks its
+        # cotangents to the valid columns, so they are never read
+        g_out_ref[:] = gates.astype(g_out_ref.dtype)
+    i = jax.nn.sigmoid(gates[..., :hidden])
+    f = jax.nn.sigmoid(gates[..., hidden : 2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden : 3 * hidden])
+    og = jax.nn.sigmoid(gates[..., 3 * hidden :])
+    c_new = c_ref[:] * f + i * g
+    h_new = og * jnp.tanh(c_new)
+    # zero the margins so the layout invariant carries to the next step
+    # (kills both conv-edge garbage and roll wraparound)
+    mask = _margin_mask(th, wp, hidden, o, w_valid)[None]
+    h_out_ref[:] = jnp.where(mask, h_new, 0.0)
+    c_out_ref[:] = jnp.where(mask, c_new, 0.0)
+
+
 def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
                     w_valid: int, has_xg: bool, emit_gates: bool = False,
                     bb: int = 1):
@@ -251,21 +274,48 @@ def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
     gates = (acc + b_ref[0].astype(jnp.float32)).reshape(
         bb, th, wp, 4 * hidden
     )
-    if g_out_ref is not None:
-        # margin values are roll/conv-edge garbage but the VJP masks its
-        # cotangents to the valid columns, so they are never read
-        g_out_ref[:] = gates.astype(g_out_ref.dtype)
-    i = jax.nn.sigmoid(gates[..., :hidden])
-    f = jax.nn.sigmoid(gates[..., hidden : 2 * hidden])
-    g = jnp.tanh(gates[..., 2 * hidden : 3 * hidden])
-    og = jax.nn.sigmoid(gates[..., 3 * hidden :])
-    c_new = c_ref[:] * f + i * g
-    h_new = og * jnp.tanh(c_new)
-    # zero the margins so the layout invariant carries to the next step
-    # (kills both conv-edge garbage and roll wraparound)
-    mask = _margin_mask(th, wp, hidden, o, w_valid)[None]
-    h_out_ref[:] = jnp.where(mask, h_new, 0.0)
-    c_out_ref[:] = jnp.where(mask, c_new, 0.0)
+    _finish_cell(gates, c_ref, h_out_ref, c_out_ref, g_out_ref,
+                 hidden, th, wp, o, w_valid)
+
+
+def _cell_kernel_v2s(*refs, k: int, th: int, wp: int, hidden: int, o: int,
+                     w_valid: int, emit_gates: bool = False):
+    """Split-operand variant of ``_cell_kernel_v2``: x and h arrive as
+    SEPARATE ref triples and the [x; h] slab is assembled in VMEM, so the
+    per-step HBM concat+pad of the xh tensor never happens (measured ~13 ms
+    of a 110 ms serving chunk as copy.*/pad fusions —
+    docs/profile/pallas2_deeptap.json).  Matmul shapes are IDENTICAL to the
+    concat path: the lane layout [x | h | zero-pad to a 128 multiple]
+    matches the caller's zero-padded weight rows, so the MXU work is
+    unchanged; only the HBM round-trip moves into a VMEM lane concat."""
+    if emit_gates:
+        (px, cx, nx, ph, ch, nh, c_ref, w_ref, b_ref,
+         h_out_ref, c_out_ref, g_out_ref) = refs
+    else:
+        (px, cx, nx, ph, ch, nh, c_ref, w_ref, b_ref,
+         h_out_ref, c_out_ref) = refs
+        g_out_ref = None
+
+    ti = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    p = k // 2
+    dt = cx.dtype  # x carries the compute dtype; h is the f32 carry
+
+    sx = _build_slab(px, cx, nx, th, wp, p, ti, n_tiles)
+    sh = _build_slab(ph, ch, nh, th, wp, p, ti, n_tiles).astype(dt)
+    pad = w_ref.shape[2] - sx.shape[-1] - sh.shape[-1]
+    parts = [sx, sh]
+    if pad:
+        parts.append(jnp.zeros((sx.shape[0], pad), dt))
+    slab = jnp.concatenate(parts, axis=-1)
+
+    lhs = _lhs_cat(slab, k, th, wp)
+    acc = _deep_tap_conv(lhs, w_ref, k, th, wp, 4 * hidden)
+    gates = (acc + b_ref[0].astype(jnp.float32)).reshape(
+        1, th, wp, 4 * hidden
+    )
+    _finish_cell(gates, c_ref, h_out_ref, c_out_ref, g_out_ref,
+                 hidden, th, wp, o, w_valid)
 
 
 def fused_cell_forward_v2(
@@ -388,6 +438,102 @@ def _cell_reference_v2(xh, c, w, b, k, o, w_valid, xg=None, *,
     return h_new * mask, c_new * mask
 
 
+def fused_cell_forward_v2s(
+    x: jnp.ndarray,  # (B, H, wp, Cx) compute dtype, margin layout
+    h: jnp.ndarray,  # (B, H, wp, Ch) f32 carry, margin layout
+    c: jnp.ndarray,  # (B, H, wp, hidden) f32, margin layout
+    w: jnp.ndarray,  # (k, k, Cx + Ch, 4*hidden) combined [w_x; w_h]
+    b: jnp.ndarray,  # (4*hidden,)
+    k: int,
+    o: int,
+    w_valid: int,
+    *,
+    interpret: bool | None = None,
+    emit_gates: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Split-operand fused cell: same math as ``fused_cell_forward_v2`` on
+    ``concat([x, h])`` but x and h stay separate HBM arrays — the slab is
+    assembled in VMEM (see ``_cell_kernel_v2s``), eliminating the per-step
+    concat+pad HBM traffic.  h/c are consumed f32 (the carry dtype) and
+    cast to the compute dtype in-kernel."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, wp, Cx = x.shape
+    Ch = h.shape[-1]
+    hidden = c.shape[-1]
+    p = k // 2
+    th = _pick_row_tile(H)
+    if th <= p or wp % 8 or o < p or wp - o - w_valid < p:
+        xh = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
+        return _cell_reference_v2(
+            xh, c, w, b, k, o, w_valid, emit_gates=emit_gates
+        )
+    n_tiles = H // th
+
+    # pad WEIGHT rows so the contraction is a 128-lane multiple; the kernel
+    # pads the slab's lanes with in-VMEM zeros to match (no HBM pad op)
+    P = _round_up(Cx + Ch, 128)
+    if P != Cx + Ch:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, P - Cx - Ch), (0, 0)))
+
+    def clamp(i):
+        return jnp.clip(i, 0, n_tiles - 1)
+
+    def tile_block(ch_count):
+        return lambda index_map: pl.BlockSpec(
+            (1, th, wp, ch_count), index_map, memory_space=pltpu.VMEM
+        )
+
+    x_block, h_block = tile_block(Cx), tile_block(Ch)
+    state_block = pl.BlockSpec(
+        (1, th, wp, hidden), lambda bi, ti: (bi, ti, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        x_block(lambda bi, ti: (bi, clamp(ti - 1), 0, 0)),
+        x_block(lambda bi, ti: (bi, ti, 0, 0)),
+        x_block(lambda bi, ti: (bi, clamp(ti + 1), 0, 0)),
+        h_block(lambda bi, ti: (bi, clamp(ti - 1), 0, 0)),
+        h_block(lambda bi, ti: (bi, ti, 0, 0)),
+        h_block(lambda bi, ti: (bi, clamp(ti + 1), 0, 0)),
+        state_block,
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole array
+        pl.BlockSpec(
+            (1, 4 * hidden), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    kernel = functools.partial(
+        _cell_kernel_v2s, k=k, th=th, wp=wp, hidden=hidden, o=o,
+        w_valid=w_valid, emit_gates=emit_gates,
+    )
+    vma = (
+        frozenset(getattr(jax.typeof(x), "vma", ()) or ())
+        | frozenset(getattr(jax.typeof(h), "vma", ()) or ())
+        | frozenset(getattr(jax.typeof(c), "vma", ()) or ())
+    )
+    out_sds = jax.ShapeDtypeStruct((B, H, wp, hidden), jnp.float32, vma=vma)
+    out_specs = [state_block, state_block]
+    out_shape = [out_sds, out_sds]
+    if emit_gates:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, H, wp, 4 * hidden), x.dtype, vma=vma)
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x, x, x, h, h, h, c, w, b.reshape(1, -1))
+
+
 def _conv_grads(x, w, dgates, k):
     """Cotangents (dx, dw) of the linear SAME conv through XLA's optimized
     conv grads — the shared glue of every backward variant."""
@@ -474,21 +620,62 @@ def _v2_xg_bwd(k, o, w_valid, res, grads):
 _fused_cell_v2_xg.defvjp(_v2_xg_fwd, _v2_xg_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_cell_v2s(x, h, c, w, b, k, o, w_valid):
+    return fused_cell_forward_v2s(x, h, c, w, b, k, o, w_valid)
+
+
+def _v2s_fwd(x, h, c, w, b, k, o, w_valid):
+    h_new, c_new, gates = fused_cell_forward_v2s(
+        x, h, c, w, b, k, o, w_valid, emit_gates=True
+    )
+    return (h_new, c_new), (x, h, c, gates, w)
+
+
+def _v2s_bwd(k, o, w_valid, res, grads):
+    # the backward concatenates [x; h] transiently — backward passes run
+    # once per step vs the forward's per-chunk reuse, and XLA's conv grads
+    # want the combined operand anyway
+    x, h, c, gates, w = res
+    dgates32, dc_prev = _elementwise_bwd(gates, c, *grads, o, w_valid)
+    xh = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
+    dxh, dw = _conv_grads(xh, w, dgates32.astype(x.dtype), k)
+    db = dgates32.sum(axis=(0, 1, 2))
+    cx = x.shape[-1]
+    return (
+        dxh[..., :cx],
+        dxh[..., cx:].astype(jnp.float32),
+        dc_prev,
+        dw,
+        db,
+    )
+
+
+_fused_cell_v2s.defvjp(_v2s_fwd, _v2s_bwd)
+
+
 def cell_step_pallas2(
     cell, x, h, c, k: int, compute_dtype, o: int, w_valid: int,
-    *, x_already_conved: bool = False,
+    *, x_already_conved: bool = False, split: bool = False,
 ):
     """Cell step in the padded-column layout (models/convlstm.py 'pallas2'
     path).  With ``x_already_conved``, x is the hoisted input-gate tensor
-    (B, H, wp, 4*hidden) and only the h-conv runs in the kernel."""
+    (B, H, wp, 4*hidden) and only the h-conv runs in the kernel.  With
+    ``split``, x and h go to the kernel as separate operands and the [x; h]
+    slab is assembled in VMEM (no per-step HBM concat)."""
     dt = jnp.dtype(compute_dtype)
     if x_already_conved:
         return _fused_cell_v2_xg(
             x, h.astype(dt), c, cell["w_h"].astype(dt),
             cell["b"].astype(jnp.float32), k, o, w_valid,
         )
-    xh = jnp.concatenate([x.astype(dt), h.astype(dt)], axis=-1)
     w = jnp.concatenate([cell["w_x"], cell["w_h"]], axis=2).astype(dt)
+    if split:
+        return _fused_cell_v2s(
+            x.astype(dt), h, c, w, cell["b"].astype(jnp.float32),
+            k, o, w_valid,
+        )
+    xh = jnp.concatenate([x.astype(dt), h.astype(dt)], axis=-1)
     return _fused_cell_v2(
         xh, c, w, cell["b"].astype(jnp.float32), k, o, w_valid
     )

@@ -32,9 +32,11 @@ def main():
     ap.add_argument(
         "--impls",
         nargs="*",
-        default=["xla:hoist", "xla:scan", "pallas2:scan", "pallas2:hoist",
-                 "pallas:scan"],
-        help="impl:mode pairs; mode hoist = precompute_input_conv",
+        default=["xla:hoist", "xla:scan", "pallas2:scan", "pallas2s:scan",
+                 "pallas2:hoist", "pallas:scan"],
+        help="impl:mode pairs; mode hoist = precompute_input_conv; "
+             "pallas2s = pallas2 with split x/h kernel operands "
+             "(no per-step HBM concat)",
     )
     ap.add_argument(
         "--train", action="store_true",
@@ -132,9 +134,11 @@ def main():
     base_params = None
     for spec in args.impls:
         impl, mode = spec.split(":")
+        split = impl == "pallas2s"
         cfg = ConvLSTMConfig(
             in_channels=C, hidden_channels=(64, 32, 16),
-            kernel_sizes=(5, 3, 3), compute_dtype="bfloat16", cell_impl=impl,
+            kernel_sizes=(5, 3, 3), compute_dtype="bfloat16",
+            cell_impl="pallas2" if split else impl, split_xh=split,
         )
         if base_params is None:
             base_params = convlstm_init(jax.random.PRNGKey(0), cfg)
@@ -191,6 +195,7 @@ def _bench_train(args):
     variants = (
         ("xla", dict(cell_impl="xla")),
         ("pallas2", dict(cell_impl="pallas2")),  # fused Pallas backward
+        ("pallas2_split", dict(cell_impl="pallas2", split_xh=True)),
         ("pallas2_xlabwd", dict(cell_impl="pallas2", bptt_bwd="xla")),
     )
     for B in args.train_batches:

@@ -116,6 +116,117 @@ def test_v2_custom_vjp_matches_xla_grads(rng):
         cp2.fused_cell_forward_v2 = orig
 
 
+@pytest.mark.parametrize(
+    "B,H,W,Cx,Ch,k",
+    # Cx+Ch spanning exact-128 pad-free and padded contractions
+    [(1, 16, 24, 5, 8, 3), (2, 20, 28, 13, 16, 5), (1, 12, 20, 4, 4, 1)],
+)
+@pytest.mark.parametrize("dt", [np.float32, jnp.bfloat16])
+def test_v2_split_matches_concat(rng, B, H, W, Cx, Ch, k, dt):
+    """Split-operand kernel (x, h separate refs; slab assembled in VMEM)
+    must match the concat kernel exactly — identical matmul shapes, the
+    per-step HBM concat just moves into the kernel."""
+    from nasa_niswan_tpu.ops.convlstm_pallas2 import fused_cell_forward_v2s
+
+    o = max(k // 2, 1)
+    wp = padded_cols(W, o)
+    hid = Ch
+    x = pad_cols(
+        rng.standard_normal((B, H, W, Cx)).astype(np.float32), o, wp
+    ).astype(dt)
+    h = pad_cols(rng.standard_normal((B, H, W, Ch)).astype(np.float32), o, wp)
+    c = pad_cols(rng.standard_normal((B, H, W, hid)).astype(np.float32), o, wp)
+    w = (rng.standard_normal((k, k, Cx + Ch, 4 * hid)) * 0.1).astype(
+        np.float32
+    )
+    b = rng.standard_normal((4 * hid,)).astype(np.float32)
+
+    xh = jnp.concatenate([jnp.asarray(x), jnp.asarray(h).astype(dt)], axis=-1)
+    want = fused_cell_forward_v2(
+        xh, c, jnp.asarray(w).astype(dt), b, k, o, W, interpret=True
+    )
+    got = fused_cell_forward_v2s(
+        jnp.asarray(x), jnp.asarray(h), jnp.asarray(c),
+        jnp.asarray(w).astype(dt), jnp.asarray(b), k, o, W, interpret=True,
+    )
+    for a, e in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-6)
+
+
+def test_v2_split_grads_match_concat(rng):
+    """Gradients through the split custom VJP equal the concat VJP's."""
+    import nasa_niswan_tpu.ops.convlstm_pallas2 as cp2
+
+    B, H, W, Cx, Ch, k = 1, 8, 12, 5, 4, 3
+    hid = Ch
+    o = k // 2
+    wp = padded_cols(W, o)
+    x = pad_cols(rng.standard_normal((B, H, W, Cx)).astype(np.float32), o, wp)
+    h = pad_cols(rng.standard_normal((B, H, W, Ch)).astype(np.float32), o, wp)
+    c = pad_cols(rng.standard_normal((B, H, W, hid)).astype(np.float32), o, wp)
+    w = (rng.standard_normal((k, k, Cx + Ch, 4 * hid)) * 0.1).astype(
+        np.float32
+    )
+    b = rng.standard_normal((4 * hid,)).astype(np.float32)
+    x, h, c, w, b = map(jnp.asarray, (x, h, c, w, b))
+
+    def loss_split(x, h, c, w, b):
+        hn, cn = cp2._fused_cell_v2s(x, h, c, w, b, k, o, W)
+        return jnp.sum(hn**2) + jnp.sum(cn * 0.5)
+
+    def loss_concat(x, h, c, w, b):
+        xh = jnp.concatenate([x, h], axis=-1)
+        hn, cn = cp2._fused_cell_v2(xh, c, w, b, k, o, W)
+        return jnp.sum(hn**2) + jnp.sum(cn * 0.5)
+
+    g1 = jax.grad(loss_split, argnums=(0, 1, 2, 3, 4))(x, h, c, w, b)
+    g2 = jax.grad(loss_concat, argnums=(0, 1, 2, 3, 4))(x, h, c, w, b)
+    for a, e in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-5)
+
+
+def test_full_model_split_xh(rng):
+    """convlstm_apply(split_xh=True) — plain scan AND the BPTT training
+    path — matches the concat pallas2 path bit-for-bit in interpret mode."""
+    from nasa_niswan_tpu.models.convlstm import (
+        ConvLSTMConfig,
+        convlstm_apply,
+        convlstm_init,
+    )
+
+    x = rng.standard_normal((1, 3, 16, 24, 5)).astype(np.float32)
+    concat_cfg = ConvLSTMConfig(5, (4, 4), (5, 3), cell_impl="pallas2")
+    split_cfg = ConvLSTMConfig(
+        5, (4, 4), (5, 3), cell_impl="pallas2", split_xh=True
+    )
+    params = convlstm_init(jax.random.PRNGKey(0), concat_cfg)
+    want, want_state = convlstm_apply(params, x, concat_cfg, return_state=True)
+    got, got_state = convlstm_apply(params, x, split_cfg, return_state=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    for (hw, cw), (hg, cg) in zip(want_state, got_state):
+        np.testing.assert_allclose(np.asarray(hg), np.asarray(hw), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cg), np.asarray(cw), atol=1e-6)
+
+    # BPTT route (remat=True): loss and grads agree with the concat BPTT
+    def loss(cfg):
+        def f(p):
+            pred = convlstm_apply(p, x, cfg)
+            return jnp.sum(pred**2)
+        return jax.value_and_grad(f)(params)
+
+    (lw, gw) = loss(
+        ConvLSTMConfig(5, (4, 4), (5, 3), cell_impl="pallas2", remat=True)
+    )
+    (lg, gg) = loss(
+        ConvLSTMConfig(
+            5, (4, 4), (5, 3), cell_impl="pallas2", remat=True, split_xh=True
+        )
+    )
+    np.testing.assert_allclose(float(lg), float(lw), rtol=1e-6)
+    for a, e in zip(jax.tree.leaves(gg), jax.tree.leaves(gw)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-5)
+
+
 @pytest.mark.parametrize("hoist", [False, True])
 def test_full_model_with_pallas2_cell(rng, hoist):
     """cell_impl='pallas2' through convlstm_apply matches the XLA path,
