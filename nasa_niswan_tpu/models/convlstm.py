@@ -94,6 +94,10 @@ class ConvLSTMConfig:
     # separate operands and assemble the [x; h] slab in VMEM instead of a
     # per-step HBM concat+pad (identical matmul shapes; A/B via
     # scripts/bench_cell.py --split-xh)
+    fuse_tail: bool = False  # pallas2 serving only: run the stack's last
+    # TWO cells in ONE pallas_call (halo recompute at tile edges) — the
+    # small-channel tail is launch/DMA-bound per the committed deep-tap
+    # trace.  Ignored on the BPTT training route (per-layer gates needed).
 
     def __post_init__(self):
         if len(self.hidden_channels) != len(self.kernel_sizes):
@@ -319,10 +323,24 @@ def convlstm_apply(
             return_per_step, return_state,
         )
 
+    # tail fusion: the last two cells in one kernel (serving-path scan
+    # only — the BPTT route above keeps per-layer kernels for the gates)
+    tail_fused = (
+        pallas2
+        and config.fuse_tail
+        and n_layers >= 2
+        # the hoisted layer-0 feeds precomputed GATES, not an h tensor —
+        # it cannot be the tail's first cell
+        and not (precompute_input_conv and n_layers == 2)
+    )
+    if tail_fused:
+        from nasa_niswan_tpu.ops.convlstm_tail import tail_step_pallas2
+
     def step(carry, x_t):
         new_carry = []
         inp = x_t[0] if len(x_t) == 1 else jnp.concatenate(x_t, axis=-1)
-        for li in range(n_layers):
+        n_loop = n_layers - 2 if tail_fused else n_layers
+        for li in range(n_loop):
             h, c = carry[li]
             h, c = cell_step(
                 params["cells"][li],
@@ -335,6 +353,16 @@ def convlstm_apply(
             )
             new_carry.append((h, c))
             inp = h
+        if tail_fused:
+            (h2, c2), (h3, c3) = carry[-2], carry[-1]
+            h2, c2, h3, c3 = tail_step_pallas2(
+                params["cells"][-2], params["cells"][-1],
+                inp, h2, c2, h3, c3,
+                config.kernel_sizes[-2], config.kernel_sizes[-1],
+                compute_dtype, o2, w_valid,
+            )
+            new_carry.extend([(h2, c2), (h3, c3)])
+            inp = h3
         if not return_per_step:
             tap = None
             return new_carry, tap

@@ -71,6 +71,7 @@ def build_model(
     remat: bool = True,
     bptt_bwd: str = "fused",
     split_xh: bool = False,
+    fuse_tail: bool = False,
 ) -> ModelBundle:
     """remat defaults True: training the canonical config (bs 8, T=48,
     100x154) OOMs a 16 GB chip without per-step rematerialization, and the
@@ -81,6 +82,7 @@ def build_model(
         cell_impl=cell_impl, precompute_input_conv=precompute_input_conv,
         unet_features=unet_features, pix2pix_features=pix2pix_features,
         remat=remat, bptt_bwd=bptt_bwd, split_xh=split_xh,
+        fuse_tail=fuse_tail,
     )
 
     def _rebuild(**overrides):
@@ -98,6 +100,7 @@ def build_model(
             remat=remat,
             bptt_bwd=bptt_bwd,
             split_xh=split_xh,
+            fuse_tail=fuse_tail,
         )
 
         def init(rng):

@@ -33,10 +33,12 @@ def main():
         "--impls",
         nargs="*",
         default=["xla:hoist", "xla:scan", "pallas2:scan", "pallas2s:scan",
-                 "pallas2:hoist", "pallas:scan"],
+                 "pallas2t:scan", "pallas2st:scan", "pallas2:hoist",
+                 "pallas:scan"],
         help="impl:mode pairs; mode hoist = precompute_input_conv; "
-             "pallas2s = pallas2 with split x/h kernel operands "
-             "(no per-step HBM concat)",
+             "pallas2 suffixes: s = split x/h kernel operands (no per-step "
+             "HBM concat), t = fused tail kernel (last two cells in one "
+             "pallas_call), st = both",
     )
     ap.add_argument(
         "--train", action="store_true",
@@ -134,11 +136,13 @@ def main():
     base_params = None
     for spec in args.impls:
         impl, mode = spec.split(":")
-        split = impl == "pallas2s"
+        split = impl in ("pallas2s", "pallas2st")
+        tail = impl in ("pallas2t", "pallas2st")
         cfg = ConvLSTMConfig(
             in_channels=C, hidden_channels=(64, 32, 16),
             kernel_sizes=(5, 3, 3), compute_dtype="bfloat16",
-            cell_impl="pallas2" if split else impl, split_xh=split,
+            cell_impl="pallas2" if (split or tail) else impl,
+            split_xh=split, fuse_tail=tail,
         )
         if base_params is None:
             base_params = convlstm_init(jax.random.PRNGKey(0), cfg)
