@@ -96,15 +96,23 @@ def _tail_kernel(px, cx, nx, ph2, ch2, nh2, pc2, cc2, nc2,
     h2_new, c2_new = _gate_update_rows(gates2, c2ext, hid2)
     # margin columns: conv-edge garbage + roll wraparound; extension rows
     # beyond the domain edge: they are layer 3's SAME zero padding AND the
-    # per-layer kernels never produce them — zero both.
-    colmask = _margin_mask(th2e, wp, 1, o, w_valid)
-    row = jax.lax.broadcasted_iota(jnp.int32, (th2e, wp, 1), 0)
+    # per-layer kernels never produce them — zero both.  Masks span the
+    # full channel lanes: 1-lane iota broadcasts lower to an unsupported
+    # gather in Mosaic.
+    colmask = _margin_mask(th2e, wp, hid2, o, w_valid)
+    row = jax.lax.broadcasted_iota(jnp.int32, (th2e, wp, hid2), 0)
     grow = ti * th - e + row
     mask2 = colmask & (grow >= 0) & (grow < n_tiles * th)
     h2_new = jnp.where(mask2, h2_new, 0.0)
     c2_new = jnp.where(mask2, c2_new, 0.0)
-    h2_out[:] = h2_new[None, e : e + th]
-    c2_out[:] = c2_new[None, e : e + th]
+    # value-indexing with None lowers to an unsupported gather in Mosaic;
+    # slice + reshape lower cleanly
+    h2_out[:] = jax.lax.slice_in_dim(h2_new, e, e + th, axis=0).reshape(
+        1, th, wp, hid2
+    )
+    c2_out[:] = jax.lax.slice_in_dim(c2_new, e, e + th, axis=0).reshape(
+        1, th, wp, hid2
+    )
 
     # ---- layer 3 on th rows, consuming h2_new from VMEM ----
     sh3 = _build_slab(ph3, ch3, nh3, th, wp, e, ti, n_tiles)
