@@ -19,7 +19,7 @@ _DEFAULT_DIR = os.path.expanduser("~/.cache/nasa_niswan_tpu/xla")
 
 
 def enable_compilation_cache(
-    cache_dir: str | None = None, *, min_compile_secs: float = 5.0
+    cache_dir: str | None = None, *, min_compile_secs: float | None = None
 ) -> str | None:
     """Enable JAX's persistent compilation cache (idempotent).
 
@@ -30,6 +30,15 @@ def enable_compilation_cache(
     """
     if os.environ.get("NISWAN_NO_COMPILE_CACHE"):
         return None
+    if min_compile_secs is None:
+        # CI override: CPU-backend subprocess tests recompile many 1-5 s
+        # programs per run; with a LOCAL disk cache a low threshold is a
+        # clear win there.  The 5 s default protects the remote-compile
+        # TPU tunnel, where caching tiny programs measured 14x slower.
+        # An explicit argument always wins over the env var.
+        min_compile_secs = float(
+            os.environ.get("NISWAN_COMPILE_CACHE_MIN_S", 5.0)
+        )
     cache_dir = (
         cache_dir
         or os.environ.get("NISWAN_COMPILE_CACHE_DIR")

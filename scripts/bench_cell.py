@@ -106,11 +106,14 @@ def main():
         # guarded on actual hardware.
         T_par = min(48, args.steps)
         outs = {}
-        for impl in ("xla", "pallas2"):
+        for impl in ("xla", "pallas2", "pallas2s", "pallas2st"):
+            variant = impl.startswith("pallas2") and impl != "pallas2"
             cfg = ConvLSTMConfig(
                 in_channels=C, hidden_channels=(64, 32, 16),
                 kernel_sizes=(5, 3, 3), compute_dtype="bfloat16",
-                cell_impl=impl,
+                cell_impl="pallas2" if variant else impl,
+                split_xh=impl in ("pallas2s", "pallas2st"),
+                fuse_tail=impl in ("pallas2t", "pallas2st"),
             )
             params = convlstm_init(jax.random.PRNGKey(0), cfg)
             rollout = make_rollout_fn(
@@ -119,19 +122,20 @@ def main():
             )
             preds, state = rollout(params, forcings[:, :T_par])
             outs[impl] = (np.asarray(preds), np.asarray(state[0][0]))
-        d_pred = np.abs(outs["xla"][0] - outs["pallas2"][0])
-        d_h = np.abs(outs["xla"][1] - outs["pallas2"][1])
         scale = max(np.abs(outs["xla"][0]).max(), 1e-6)
-        rel = d_pred.max() / scale
-        print(json.dumps({
-            "parity": "pallas2-vs-xla compiled bf16",
-            "steps": T_par,
-            "max_abs_pred": float(d_pred.max()),
-            "max_rel_pred": float(rel),
-            "max_abs_h": float(d_h.max()),
-        }), flush=True)
-        # bf16 has ~3 decimal digits; 48 recurrent steps compound to ~2%
-        assert rel < 0.05, f"compiled pallas2 diverges from XLA: rel={rel}"
+        for impl in ("pallas2", "pallas2s", "pallas2st"):
+            d_pred = np.abs(outs["xla"][0] - outs[impl][0])
+            d_h = np.abs(outs["xla"][1] - outs[impl][1])
+            rel = d_pred.max() / scale
+            print(json.dumps({
+                "parity": f"{impl}-vs-xla compiled bf16",
+                "steps": T_par,
+                "max_abs_pred": float(d_pred.max()),
+                "max_rel_pred": float(rel),
+                "max_abs_h": float(d_h.max()),
+            }), flush=True)
+            # bf16 has ~3 decimal digits; 48 recurrent steps compound ~2%
+            assert rel < 0.05, f"compiled {impl} diverges from XLA: rel={rel}"
 
     base_params = None
     for spec in args.impls:

@@ -30,7 +30,10 @@ assert jax.device_count() == 8
 # CPU backend, so the low threshold is safe (cf. utils/cache.py note).
 from nasa_niswan_tpu.utils.cache import enable_compilation_cache
 
-enable_compilation_cache(min_compile_secs=2.0)
+enable_compilation_cache(min_compile_secs=0.5)
+# subprocess CLI tests (train/evalx round trips, multihost workers)
+# inherit the low threshold through the environment
+os.environ.setdefault("NISWAN_COMPILE_CACHE_MIN_S", "0.5")
 
 import numpy as np
 import pytest

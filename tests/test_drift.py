@@ -37,7 +37,7 @@ def trained(tmp_path_factory):
     suite wall-clock); the drift measurement itself rolls out on a
     separate long realization of the same synthetic process — the test's
     subject is bf16 numerics of the rollout, not model skill."""
-    short = synthetic_e33oma_90d(T=120, seed=4, H=GRID[0], W=GRID[1])
+    short = synthetic_e33oma_90d(T=96, seed=4, H=GRID[0], W=GRID[1])
     bundle = build_model(
         "LSTM-drift", in_channels=5, hidden_channels=(8, 8), kernel_sizes=(5, 3)
     )
@@ -45,7 +45,7 @@ def trained(tmp_path_factory):
     val_ds = SequenceDataset(short, period="val", sequence_length=6)
     cfg = TrainConfig(
         model="LSTM-drift", num_layers=2, hidden_channels=(8, 8),
-        kernel_size=(5, 3), sequence_length=6, num_epochs=1, batch_size=16,
+        kernel_size=(5, 3), sequence_length=6, num_epochs=1, batch_size=20,
         input_size=PADDED, checkpoint_every=0,
         snapshot_dir=str(tmp_path_factory.mktemp("drift")),
     )

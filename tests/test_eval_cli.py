@@ -7,6 +7,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 
 def run(cmd, env):
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
@@ -15,12 +17,19 @@ def run(cmd, env):
     return out
 
 
-def test_train_then_evaluate(tmp_path):
-    snap = str(tmp_path / "snap")
+def _cpu_env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
 
+
+@pytest.fixture(scope="module")
+def canonical_snap(tmp_path_factory):
+    """One tiny canonical (config #1) training snapshot, shared by every
+    eval test that only needs *a* surface snapshot — each subprocess
+    train run costs ~12 s of the suite, so identical ones train once."""
+    snap = str(tmp_path_factory.mktemp("evalcli") / "snap")
     run(
         [
             sys.executable, "-m", "nasa_niswan_tpu.train",
@@ -31,8 +40,14 @@ def test_train_then_evaluate(tmp_path):
             "--synthetic-grid", "16", "24", "--snapshot-dir", snap,
             "--checkpoint-every", "1",
         ],
-        env,
+        _cpu_env(),
     )
+    return snap
+
+
+def test_train_then_evaluate(tmp_path, canonical_snap):
+    snap = canonical_snap
+    env = _cpu_env()
     out = run(
         [
             sys.executable, "-m", "nasa_niswan_tpu.evalx",
@@ -145,28 +160,13 @@ def test_train_then_evaluate_seq2seq(tmp_path):
     assert bad.returncode != 0
 
 
-def test_eval_cli_export_hidden_and_oat(tmp_path):
+def test_eval_cli_export_hidden_and_oat(tmp_path, canonical_snap):
     """--export-hidden writes HSs.npy (cell 8's hidden-state buffer);
     --oat writes the sensitivity npz (+ boxplot when mpl present)."""
     import numpy as np
 
-    snap = str(tmp_path / "snap2")
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-
-    run(
-        [
-            sys.executable, "-m", "nasa_niswan_tpu.train",
-            "--model", "LSTM-hss", "--hidden-channels", "4",
-            "--kernel-size", "3", "--num-layers", "1",
-            "--sequence-length", "3", "--num-epochs", "1", "--batch-size", "4",
-            "--input-size", "20", "28", "--synthetic-steps", "60",
-            "--synthetic-grid", "16", "24", "--snapshot-dir", snap,
-            "--checkpoint-every", "1",
-        ],
-        env,
-    )
+    snap = canonical_snap
+    env = _cpu_env()
     run(
         [
             sys.executable, "-m", "nasa_niswan_tpu.evalx",

@@ -598,23 +598,31 @@ def test_batch_block_fold_backward_parity(rng):
     )(params)
 
     try:
-        kernel_outs, model_outs = {}, {}
+        # per-kernel cotangents over every fold shape (cheap: interpret
+        # kernels, no model compile); the dividing 2/4 folds plus the
+        # non-dividing 3 fallback
+        kernel_outs = {}
         for bb in (1, 2, 4, 3):
             p2.set_batch_block(bb)
             kernel_outs[bb] = cell_grads_pallas(
                 xh, c, dh, dc, w, b, k, o, W, interpret=True
             )
-            model_outs[bb] = model_grads()
         for bb in (2, 4, 3):
             for a, r in zip(kernel_outs[bb], kernel_outs[1]):
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(r), rtol=3e-5, atol=3e-5
                 )
-            for a, r in zip(
-                jax.tree.leaves(model_outs[bb]), jax.tree.leaves(model_outs[1])
-            ):
-                np.testing.assert_allclose(
-                    np.asarray(a), np.asarray(r), rtol=3e-5, atol=3e-5
-                )
+        # full-model pallas2+remat grads: one folded case suffices (each
+        # bb is a separate BPTT compile — the dominant test cost)
+        model_outs = {}
+        for bb in (1, 2):
+            p2.set_batch_block(bb)
+            model_outs[bb] = model_grads()
+        for a, r in zip(
+            jax.tree.leaves(model_outs[2]), jax.tree.leaves(model_outs[1])
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=3e-5, atol=3e-5
+            )
     finally:
         p2.set_batch_block(1)
