@@ -93,7 +93,7 @@ class ConvLSTMConfig:
     split_xh: bool = False  # pallas2 only: pass x and h to the kernel as
     # separate operands and assemble the [x; h] slab in VMEM instead of a
     # per-step HBM concat+pad (identical matmul shapes; A/B via
-    # scripts/bench_cell.py --split-xh)
+    # scripts/bench_cell.py --impls pallas2s:scan)
     fuse_tail: bool = False  # pallas2 serving only: run the stack's last
     # TWO cells in ONE pallas_call (halo recompute at tile edges) — the
     # small-channel tail is launch/DMA-bound per the committed deep-tap
@@ -220,8 +220,23 @@ def convlstm_apply(
     cell_impl = config.cell_impl
     if cell_impl == "auto":
         # trace-time measured policy; auto_mode="train" when the caller
-        # will take grads (the BPTT crossover differs from the forward's)
-        cell_impl = resolve_auto_impl(B, mode=auto_mode)
+        # will take grads (the BPTT crossover differs from the forward's).
+        # The train-mode B<=8 crossover is earned by the whole-scan fused
+        # BPTT — when that route can't engage (hoisted input conv, taps,
+        # no remat, fuse_tail), differentiating pallas2 means per-cell
+        # custom VJPs: measured 3.7x slower than XLA AND residual-stacking
+        # (OOM at canonical B=8), so auto resolves to xla there.
+        bptt_route_ok = (
+            config.remat
+            and not return_per_step
+            and tap_fn is None
+            and not precompute_input_conv
+            and not config.fuse_tail
+        )
+        if auto_mode == "train" and not bptt_route_ok:
+            cell_impl = "xla"
+        else:
+            cell_impl = resolve_auto_impl(B, mode=auto_mode)
 
     pallas2 = cell_impl == "pallas2"
     w_valid = W
@@ -294,6 +309,12 @@ def convlstm_apply(
         and not return_per_step
         and tap_fn is None
         and not precompute_input_conv
+        # fuse_tail is a serving-path flag: a tap-free forward-only apply
+        # (evalx run_chunk, bundle.apply(training=False)) must reach the
+        # tail-fused scan below even under a remat config.  Differentiating
+        # a fuse_tail apply falls back to per-cell VJPs — documented slow;
+        # auto-mode training never picks it (see the resolution above).
+        and not config.fuse_tail
     ):
         # Training path: ``jax.checkpoint`` cannot rematerialize through the
         # cell's custom VJP, so the per-cell residuals would stack across

@@ -455,7 +455,13 @@ def fused_cell_forward_v2s(
     ``concat([x, h])`` but x and h stay separate HBM arrays — the slab is
     assembled in VMEM (see ``_cell_kernel_v2s``), eliminating the per-step
     concat+pad HBM traffic.  h/c are consumed f32 (the carry dtype) and
-    cast to the compute dtype in-kernel."""
+    cast to the compute dtype in-kernel.
+
+    NOTE: the batch-block fold (``set_batch_block``) does NOT apply here —
+    this kernel always runs the per-batch (B, n_tiles) grid.  The fold is
+    a measured ~1% dead end on the concat kernel (docs/PERFORMANCE.md), so
+    it was not ported; bench_cell refuses the combination so no A/B ever
+    compares a folded concat grid against an unfolded split one."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, H, wp, Cx = x.shape

@@ -56,7 +56,8 @@ def make_seq2seq_train_step(
     6 in the reference's surface mode, dataset.py:330).
     """
     forward_chunk = _make_forward_chunk(
-        config, normalizer, padded_shape=padded_shape, grid_shape=grid_shape
+        config, normalizer, padded_shape=padded_shape,
+        grid_shape=grid_shape, auto_mode="train",
     )
 
     @jax.jit
@@ -83,7 +84,8 @@ def make_seq2seq_eval_step(
     OWN feedback (teacher_prob = 0) — the deployment condition.  Returns
     ``eval_step(params, x, prev0, y) -> (loss, r2)``."""
     forward_chunk = _make_forward_chunk(
-        config, normalizer, padded_shape=padded_shape, grid_shape=grid_shape
+        config, normalizer, padded_shape=padded_shape,
+        grid_shape=grid_shape, auto_mode="forward",
     )
 
     @jax.jit
@@ -102,8 +104,14 @@ def _make_forward_chunk(
     *,
     padded_shape: Tuple[int, int],
     grid_shape: Tuple[int, int],
+    auto_mode: str = "train",
 ):
-    """Shared scan body of the seq2seq train/eval steps."""
+    """Shared scan body of the seq2seq train/eval steps.
+
+    ``auto_mode`` picks which measured cell_impl='auto' crossover applies:
+    the train step differentiates through this chunk (fused-BPTT numbers,
+    pallas2 through B=8), the eval step does not (forward-only numbers,
+    XLA wins beyond B=4)."""
     if config.in_channels < 2:
         raise ValueError("seq2seq feedback training needs a feedback channel")
 
@@ -133,7 +141,7 @@ def _make_forward_chunk(
         if impl == "auto":
             from nasa_niswan_tpu.models.convlstm import resolve_auto_impl
 
-            impl = resolve_auto_impl(B, mode="train")
+            impl = resolve_auto_impl(B, mode=auto_mode)
         if impl == "pallas2" and config.remat:
             from nasa_niswan_tpu.ops.convlstm_pallas2 import (
                 col_margin,

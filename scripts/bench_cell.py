@@ -68,6 +68,19 @@ def main():
     if args.batch_block != 1:
         from nasa_niswan_tpu.ops.convlstm_pallas2 import set_batch_block
 
+        variant_specs = [
+            s for s in args.impls
+            if s.split(":")[0] in ("pallas2s", "pallas2t", "pallas2st")
+        ]
+        if variant_specs:
+            # the split/tail kernels ignore the fold (see
+            # fused_cell_forward_v2s docstring) — refusing beats printing
+            # a folded-vs-unfolded comparison labeled as like-for-like
+            raise SystemExit(
+                f"--batch-block {args.batch_block} does not apply to "
+                f"{variant_specs}: the split/tail kernels always run the "
+                "per-batch grid; drop them or use bb=1"
+            )
         set_batch_block(args.batch_block)
         print(f"pallas2 batch_block = {args.batch_block}")
 
@@ -106,7 +119,7 @@ def main():
         # guarded on actual hardware.
         T_par = min(48, args.steps)
         outs = {}
-        for impl in ("xla", "pallas2", "pallas2s", "pallas2st"):
+        for impl in ("xla", "pallas2", "pallas2s", "pallas2t", "pallas2st"):
             variant = impl.startswith("pallas2") and impl != "pallas2"
             cfg = ConvLSTMConfig(
                 in_channels=C, hidden_channels=(64, 32, 16),
@@ -123,7 +136,7 @@ def main():
             preds, state = rollout(params, forcings[:, :T_par])
             outs[impl] = (np.asarray(preds), np.asarray(state[0][0]))
         scale = max(np.abs(outs["xla"][0]).max(), 1e-6)
-        for impl in ("pallas2", "pallas2s", "pallas2st"):
+        for impl in ("pallas2", "pallas2s", "pallas2t", "pallas2st"):
             d_pred = np.abs(outs["xla"][0] - outs[impl][0])
             d_h = np.abs(outs["xla"][1] - outs[impl][1])
             rel = d_pred.max() / scale

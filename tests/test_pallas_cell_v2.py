@@ -413,10 +413,34 @@ def test_cell_impl_auto_resolution(rng, monkeypatch):
 
     # ... but the TRAINING crossover differs: the fused BPTT backward wins
     # at every measured batch size, so auto_mode="train" keeps pallas2
-    # through B=8 (and only falls back to XLA beyond the measured range)
+    # through B=8 — ONLY when the whole-scan BPTT route can engage.  With
+    # remat=False (here) pallas2 training would mean per-cell custom VJPs
+    # (measured 3.7x slower, residual-stacking), so auto resolves xla:
     seen.clear()
     mc.convlstm_apply(params, x8, auto, auto_mode="train")
-    assert seen.get("pallas2"), "train-mode auto at B=8 on TPU must pick pallas2"
+    assert "pallas2" not in seen, (
+        "train-mode auto without the BPTT route must fall back to xla"
+    )
+    # same fallback when the route is blocked by hoist or fuse_tail
+    auto_remat = mc.ConvLSTMConfig(
+        5, (4,), (3,), cell_impl="auto", remat=True
+    )
+    import nasa_niswan_tpu.ops.convlstm_bptt as bptt
+
+    class _RoutedBPTT(Exception):
+        pass
+
+    def bptt_spy(*a, **kw):
+        raise _RoutedBPTT
+
+    monkeypatch.setattr(bptt, "scan_cells_pallas2", bptt_spy)
+    with pytest.raises(_RoutedBPTT):  # remat + no taps/hoist -> fused BPTT
+        mc.convlstm_apply(params, x8, auto_remat, auto_mode="train")
+    seen.clear()
+    mc.convlstm_apply(  # hoist blocks the BPTT route -> xla, not pallas2
+        params, x8, auto_remat, auto_mode="train", precompute_input_conv=True
+    )
+    assert "pallas2" not in seen
     assert mc.resolve_auto_impl(8, backend="tpu") == "xla"
     assert mc.resolve_auto_impl(8, backend="tpu", mode="train") == "pallas2"
     assert mc.resolve_auto_impl(9, backend="tpu", mode="train") == "xla"
