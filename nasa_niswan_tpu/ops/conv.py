@@ -43,6 +43,24 @@ def conv2d(
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = (padding, padding)
+    if (
+        kernel.shape[0] == kernel.shape[1] == 1
+        and stride == (1, 1)
+        and padding in ((0, 0), "VALID", "SAME")
+    ):
+        # A 1x1 conv IS a channel matmul; XLA's conv_general lowering
+        # brackets it with two layout copies per call on TPU (measured
+        # ~0.015 ms/step on the serving scan's head tap — ~4% of the whole
+        # step), while the einsum form lowers to a bare MXU matmul.
+        out = jnp.einsum(
+            "bhwc,co->bhwo",
+            x,
+            kernel[0, 0],
+            preferred_element_type=preferred_dtype or x.dtype,
+        )
+        if bias is not None:
+            out = out + bias
+        return out
     if isinstance(padding, str):
         pad_arg = padding
     elif pad_mode == "zeros":
