@@ -12,7 +12,6 @@ import argparse
 import json
 import os
 
-import jax
 import numpy as np
 
 
@@ -48,86 +47,18 @@ def main(argv=None):
         predict_test_set,
         save_test_results,
     )
-    from nasa_niswan_tpu.models.registry import build_model
-    from nasa_niswan_tpu.train.checkpoint import latest_epoch_dir, load_checkpoint
-    from nasa_niswan_tpu.train.config import TrainConfig
-    from nasa_niswan_tpu.train.__main__ import load_data
+    from nasa_niswan_tpu.evalx.snapshot import load_snapshot
 
-    cfg = TrainConfig.load(os.path.join(args.run_dir, "configurations.json"))
-    cfg.snapshot_dir = args.run_dir
-    bundle = build_model(
-        cfg.model, in_channels=cfg.in_channels,
-        hidden_channels=cfg.hidden_channels, kernel_sizes=cfg.kernel_size,
-        compute_dtype=cfg.compute_dtype, cell_impl=cfg.cell_impl,
-        unet_features=cfg.unet_features,
-        pix2pix_features=cfg.pix2pix_features,
-    )
-    data = load_data(cfg)
-    # Mirror train/__main__.build_datasets exactly — the eval CLI must
-    # round-trip every configurations.json the trainer writes (test.ipynb
-    # cell 3's contract), including config #2 (--levels 20 fusion) and
-    # config #3 (--mode seq2seq feedback snapshots).
-    n_forcing = 5
-    if cfg.levels > 1:
-        from nasa_niswan_tpu.data.fusion import fuse_levels, fusion_channel_count
-
-        data = fuse_levels(data, cfg.species, levels=cfg.levels)
-        n_forcing = fusion_channel_count(cfg.levels)
-    closed_loop = cfg.mode == "seq2seq" and bundle.is_sequence
-    if closed_loop:
-        from nasa_niswan_tpu.data.dataset import Seq2SeqDataset
-
-        test_ds = Seq2SeqDataset(
-            data, period="test", species=cfg.species,
-            sequence_length=cfg.sequence_length,
-        )
-    elif bundle.is_sequence:
-        from nasa_niswan_tpu.data.dataset import SequenceDataset
-
-        kw = {} if cfg.levels > 1 else {"in_channels": cfg.in_channels}
-        test_ds = SequenceDataset(
-            data, period="test", species=cfg.species,
-            sequence_length=cfg.sequence_length, **kw,
-        )
-    else:
-        from nasa_niswan_tpu.data.dataset import SingleStepDataset
-
-        test_ds = SingleStepDataset(
-            data, period="test", species=cfg.species,
-            in_channels=cfg.in_channels, transform=cfg.transform,
-        )
-
-    ckpt_dir = (
-        os.path.join(args.run_dir, f"epoch-{args.epoch:03d}")
-        if args.epoch is not None
-        else latest_epoch_dir(args.run_dir)
-    )
-    if ckpt_dir is None:
-        raise SystemExit(f"no epoch-NNN checkpoint under {args.run_dir}")
-    tmpl_params, tmpl_state = bundle.init(jax.random.PRNGKey(cfg.seed))
-    # model_state carries the UNet's BN running stats (torch state_dict
-    # semantics, utils.py:23-32); older checkpoints fall back to the
-    # template
-    params, _, eval_state, meta = load_checkpoint(
-        ckpt_dir, tmpl_params, state_template=tmpl_state
-    )
-    print("Number of Epochs:", meta.get("epoch"))
-
-    # Static-attribute channels ride above the forcing stack (and the
-    # feedback channel in seq2seq mode, train/config.py:71-72).  A
-    # 6-channel single-step snapshot (UNet-6ch) has a FEEDBACK channel,
-    # not a static one — and gets the closed-loop loop of test.ipynb
-    # cell 8 ("if UNet-6ch and counter != 1: X[:, -1] = pred").
-    feedback_single = bundle.family == "UNet" and cfg.in_channels == 6
-    n_static = cfg.in_channels - n_forcing - (
-        1 if (closed_loop or feedback_single) else 0
-    )
-    static = (
-        data["static"][:n_static]
-        if n_static > 0 and isinstance(data, dict) and "static" in data
-        else None
-    )
-    padded = tuple(cfg.input_size)
+    # load_snapshot mirrors train/__main__.build_datasets exactly — the eval
+    # CLI must round-trip every configurations.json the trainer writes
+    # (test.ipynb cell 3's contract), including config #2 (--levels 20
+    # fusion) and config #3 (--mode seq2seq feedback snapshots).
+    snap = load_snapshot(args.run_dir, epoch=args.epoch)
+    cfg, bundle, test_ds = snap.cfg, snap.bundle, snap.dataset
+    params, eval_state = snap.params, snap.eval_state
+    closed_loop, feedback_single = snap.closed_loop, snap.feedback_single
+    static, padded = snap.static, snap.padded_shape
+    print("Number of Epochs:", snap.meta.get("epoch"))
     if (closed_loop or feedback_single) and (
         args.export_hidden or args.oat or args.export_artifact
     ):

@@ -112,7 +112,18 @@ def _run_chunked_episode(run_chunk, carry, frames, chunk_steps: int):
     resets at chunk boundaries), trim the padding from the outputs.
 
     ``run_chunk(*carry, x_chunk) -> (*carry, preds)``.  Shared by the
-    seq2seq and the UNet-6ch feedback evaluators."""
+    seq2seq and the UNet-6ch feedback evaluators.  Returns ``preds`` only;
+    note a repeat-padded tail chunk advances the carry over the padding
+    frames, so the final carry is NOT valid for continuation unless
+    ``T % chunk_steps == 0`` (the serving CLI enforces this for
+    ``--state-out``)."""
+    preds, _ = run_chunked_episode_carry(run_chunk, carry, frames, chunk_steps)
+    return preds
+
+
+def run_chunked_episode_carry(run_chunk, carry, frames, chunk_steps: int):
+    """`_run_chunked_episode` that also returns the final carry (see its
+    tail-padding caveat)."""
     T = frames.shape[0]
     chunk_steps = min(chunk_steps, T)
     preds = []
@@ -125,36 +136,25 @@ def _run_chunked_episode(run_chunk, carry, frames, chunk_steps: int):
             )
         *carry, p = run_chunk(*carry, x_chunk)
         preds.append(np.asarray(p)[:n_valid])
-    return np.concatenate(preds)
+    return np.concatenate(preds), carry
 
 
-def predict_test_closed_loop(
-    config, params, dataset, *, padded_shape, chunk_steps: int = 480
-) -> Dict[str, np.ndarray]:
-    """Closed-loop feedback evaluation over a ``Seq2SeqDataset``'s full
-    split — the deployment condition of a ``--mode seq2seq`` snapshot
-    (test.ipynb cell 8's ``X[:, -1] = pred`` loop, run continuously).
-
-    Each step's feedback channel is the model's OWN previous prediction
-    (ground truth only seeds step 0 via the dataset's ``prev0``); the
-    ConvLSTM (h, c) state and the feedback frame are carried across jitted
-    fixed-size chunks, so the whole test period is one continuous episode
-    with no state resets at chunk boundaries.  Returns physical-unit
-    GTs/PDs shaped (T, h, w).
-    """
+def make_closed_loop_chunk(config, normalizer, *, padded_shape, grid_shape):
+    """The jitted closed-loop chunk of a seq2seq snapshot: scan a raw
+    forcing chunk with the feedback channel carrying the model's OWN
+    previous prediction (test.ipynb cell 8's ``X[:, -1] = pred``, run
+    continuously).  Returns ``run_chunk(params, state, prev_norm, x_chunk)
+    -> (state, prev_norm, preds)`` with x_chunk raw (Tc, C-1, h, w),
+    prev_norm (1, h, w) normalized, preds (Tc, h, w) physical units.
+    Shared by the evaluation (`predict_test_closed_loop`) and serving
+    (``python -m nasa_niswan_tpu.rollout``) paths."""
     import jax
     import jax.numpy as jnp
 
     from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
     from nasa_niswan_tpu.models.convlstm import convlstm_apply
 
-    frames, prev0, targets = dataset.continuous_stream()
-    norm = dataset.normalizer
-    grid_shape = tuple(targets.shape[-2:])
-    H, W = padded_shape
-    T = frames.shape[0]
-    chunk_steps = min(chunk_steps, T)
-
+    norm = normalizer
     x_mean = jnp.asarray(norm.x_mean).reshape(-1, 1, 1)
     x_std = jnp.asarray(norm.x_std).reshape(-1, 1, 1)
 
@@ -181,13 +181,42 @@ def predict_test_closed_loop(
         )
         return state, prev_norm, preds
 
-    state = [
+    return run_chunk
+
+
+def zero_closed_loop_state(config, padded_shape):
+    """Zero (h, c) carry for the closed-loop chunk (model.py:258-262)."""
+    H, W = padded_shape
+    return [
         (
             np.zeros((1, H, W, hc), np.float32),
             np.zeros((1, H, W, hc), np.float32),
         )
         for hc in config.hidden_channels
     ]
+
+
+def predict_test_closed_loop(
+    config, params, dataset, *, padded_shape, chunk_steps: int = 480
+) -> Dict[str, np.ndarray]:
+    """Closed-loop feedback evaluation over a ``Seq2SeqDataset``'s full
+    split — the deployment condition of a ``--mode seq2seq`` snapshot
+    (test.ipynb cell 8's ``X[:, -1] = pred`` loop, run continuously).
+
+    Each step's feedback channel is the model's OWN previous prediction
+    (ground truth only seeds step 0 via the dataset's ``prev0``); the
+    ConvLSTM (h, c) state and the feedback frame are carried across jitted
+    fixed-size chunks, so the whole test period is one continuous episode
+    with no state resets at chunk boundaries.  Returns physical-unit
+    GTs/PDs shaped (T, h, w).
+    """
+    frames, prev0, targets = dataset.continuous_stream()
+    norm = dataset.normalizer
+    grid_shape = tuple(targets.shape[-2:])
+    run_chunk = make_closed_loop_chunk(
+        config, norm, padded_shape=padded_shape, grid_shape=grid_shape
+    )
+    state = zero_closed_loop_state(config, padded_shape)
     prev_norm = np.asarray(norm.normalize_y(prev0), np.float32)[None]
     preds = _run_chunked_episode(
         lambda st, prev, x: run_chunk(params, st, prev, x),

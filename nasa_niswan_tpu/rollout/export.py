@@ -125,10 +125,51 @@ def export_rollout(
 def load_rollout(path_or_bytes):
     """Deserialize an exported rollout artifact into a callable
     ``rollout(forcings, state) -> (preds, state)``."""
+    fn, _ = load_rollout_info(path_or_bytes)
+    return fn
+
+
+def load_rollout_info(path_or_bytes):
+    """Deserialize an artifact and also report its fixed forcing signature.
+
+    Returns ``(fn, (batch, chunk_steps, n_channels, h, w))`` — the shapes
+    the artifact was exported with (serving must chunk to exactly these).
+    """
     if isinstance(path_or_bytes, (bytes, bytearray)):
         blob = bytes(path_or_bytes)
     else:
         with open(path_or_bytes, "rb") as f:
             blob = f.read()
     exported = jax.export.deserialize(blob)
-    return exported.call
+    return exported.call, tuple(exported.in_avals[0].shape)
+
+
+def save_rollout_state(path: str, state, *, prev_norm=None) -> None:
+    """Persist a rollout carry to ``.npz`` (standard layout, f32).
+
+    ``state`` is the per-layer [(h, c), ...] carry every rollout returns;
+    ``prev_norm`` optionally adds the closed-loop feedback frame
+    (normalized space, so a resumed episode is bit-identical to an
+    uninterrupted one).  This is the cross-invocation half of the in-line
+    surrogate pattern: the host model stops, the carry file persists, the
+    next invocation resumes the same episode.
+    """
+    arrays = {}
+    for li, (h, c) in enumerate(state):
+        arrays[f"h{li}"] = np.asarray(h, np.float32)
+        arrays[f"c{li}"] = np.asarray(c, np.float32)
+    if prev_norm is not None:
+        arrays["prev_norm"] = np.asarray(prev_norm, np.float32)
+    np.savez_compressed(path, **arrays)
+
+
+def load_rollout_state(path: str):
+    """Load a carry saved by ``save_rollout_state``.
+
+    Returns ``(state, prev_norm)``; ``prev_norm`` is None for open-loop
+    carries."""
+    with np.load(path) as z:
+        n_layers = sum(1 for k in z.files if k.startswith("h"))
+        state = [(z[f"h{li}"], z[f"c{li}"]) for li in range(n_layers)]
+        prev = z["prev_norm"] if "prev_norm" in z.files else None
+    return state, prev

@@ -42,3 +42,49 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def canonical_snap(tmp_path_factory):
+    """One tiny canonical (config #1) training snapshot, shared by every
+    CLI test that only needs *a* surface snapshot — each subprocess train
+    run costs ~12 s of the suite, so identical ones train once."""
+    from cli_utils import train_tiny_snapshot
+
+    snap = str(tmp_path_factory.mktemp("clisnap") / "snap")
+    return train_tiny_snapshot(snap, model="LSTM-clisnap")
+
+
+@pytest.fixture(scope="session")
+def seq2seq_snap(tmp_path_factory):
+    """One tiny seq2seq (config #3) snapshot, shared across CLI tests."""
+    from cli_utils import train_tiny_snapshot
+
+    snap = str(tmp_path_factory.mktemp("clisnap-s2s") / "snap")
+    return train_tiny_snapshot(
+        snap, model="LSTM-clisnap-s2s", extra=("--mode", "seq2seq")
+    )
+
+
+@pytest.fixture(scope="session")
+def unet6_snap(tmp_path_factory):
+    """One tiny UNet-6ch feedback snapshot (test.ipynb cell 8's
+    autoregressive-emulation config), shared across CLI tests."""
+    import sys
+
+    from cli_utils import cpu_env, run
+
+    snap = str(tmp_path_factory.mktemp("clisnap-u6") / "snap")
+    run(
+        [
+            sys.executable, "-m", "nasa_niswan_tpu.train",
+            "--model", "UNet-clisnap", "--in-channels", "6",
+            "--unet-features", "4", "8", "16", "32",
+            "--num-epochs", "1", "--batch-size", "8",
+            "--input-size", "32", "48", "--synthetic-steps", "60",
+            "--synthetic-grid", "16", "24", "--snapshot-dir", snap,
+            "--checkpoint-every", "1",
+        ],
+        cpu_env(),
+    )
+    return snap

@@ -7,42 +7,11 @@ import os
 import subprocess
 import sys
 
-import pytest
+from cli_utils import cpu_env as _cpu_env
+from cli_utils import run
 
-
-def run(cmd, env):
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
-                         env=env, cwd="/root/repo")
-    assert out.returncode == 0, out.stderr[-2000:]
-    return out
-
-
-def _cpu_env():
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    return env
-
-
-@pytest.fixture(scope="module")
-def canonical_snap(tmp_path_factory):
-    """One tiny canonical (config #1) training snapshot, shared by every
-    eval test that only needs *a* surface snapshot — each subprocess
-    train run costs ~12 s of the suite, so identical ones train once."""
-    snap = str(tmp_path_factory.mktemp("evalcli") / "snap")
-    run(
-        [
-            sys.executable, "-m", "nasa_niswan_tpu.train",
-            "--model", "LSTM-evalcli", "--hidden-channels", "4",
-            "--kernel-size", "3", "--num-layers", "1",
-            "--sequence-length", "3", "--num-epochs", "1", "--batch-size", "4",
-            "--input-size", "20", "28", "--synthetic-steps", "60",
-            "--synthetic-grid", "16", "24", "--snapshot-dir", snap,
-            "--checkpoint-every", "1",
-        ],
-        _cpu_env(),
-    )
-    return snap
+# canonical_snap / seq2seq_snap: session-scoped snapshot fixtures in
+# conftest.py, shared with the serving-CLI tests (test_serve_cli.py)
 
 
 def test_train_then_evaluate(tmp_path, canonical_snap):
@@ -112,31 +81,15 @@ def test_train_then_evaluate_levels(tmp_path):
     assert "temporal_r2_summary" in report
 
 
-def test_train_then_evaluate_seq2seq(tmp_path):
+def test_train_then_evaluate_seq2seq(seq2seq_snap):
     """Config #3 round trip: a --mode seq2seq snapshot must be evaluated
     CLOSED-LOOP (its feedback channel carrying the model's own prediction),
     not open-loop with the feedback slot mistaken for a static channel
     (round-2 verdict item: silent mis-evaluation)."""
     import numpy as np
 
-    snap = str(tmp_path / "snap-s2s")
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-
-    run(
-        [
-            sys.executable, "-m", "nasa_niswan_tpu.train",
-            "--model", "LSTM-evals2s", "--mode", "seq2seq",
-            "--hidden-channels", "4", "--kernel-size", "3",
-            "--num-layers", "1", "--sequence-length", "3",
-            "--num-epochs", "1", "--batch-size", "4",
-            "--input-size", "20", "28", "--synthetic-steps", "60",
-            "--synthetic-grid", "16", "24", "--snapshot-dir", snap,
-            "--checkpoint-every", "1",
-        ],
-        env,
-    )
+    snap = seq2seq_snap
+    env = _cpu_env()
     cfg = json.load(open(os.path.join(snap, "configurations.json")))
     assert cfg["mode"] == "seq2seq" and cfg["in_channels"] == 6
     out = run(
@@ -182,28 +135,13 @@ def test_eval_cli_export_hidden_and_oat(tmp_path, canonical_snap):
         assert (f["u"] >= 0).all()
 
 
-def test_unet6_feedback_closed_loop_round_trip(tmp_path):
+def test_unet6_feedback_closed_loop_round_trip(unet6_snap):
     """A UNet-6ch snapshot (the reference's autoregressive-emulation
     config, test.ipynb cell 8) must evaluate CLOSED LOOP: channel 5
     carries the model's own previous prediction, not the dataset's
     teacher-forced ground truth."""
-    snap = str(tmp_path / "snap_unet6")
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-
-    run(
-        [
-            sys.executable, "-m", "nasa_niswan_tpu.train",
-            "--model", "UNet-evalcli", "--in-channels", "6",
-            "--unet-features", "4", "8", "16", "32",
-            "--num-epochs", "1", "--batch-size", "8",
-            "--input-size", "32", "48", "--synthetic-steps", "60",
-            "--synthetic-grid", "16", "24", "--snapshot-dir", snap,
-            "--checkpoint-every", "1",
-        ],
-        env,
-    )
+    snap = unet6_snap
+    env = _cpu_env()
     cfg = json.load(open(os.path.join(snap, "configurations.json")))
     assert cfg["unet_features"] == [4, 8, 16, 32]  # round-trips to evalx
     out = run(

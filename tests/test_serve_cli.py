@@ -1,0 +1,162 @@
+"""Serving CLI (``python -m nasa_niswan_tpu.rollout``): every snapshot kind
+routes to the right rollout, predictions land in readable netCDF, and a
+persisted carry resumes the episode bit-exactly — the cross-invocation
+in-line-surrogate contract (reference README.md:12,29; test.ipynb cell 8).
+
+The CLI main() is driven in-process: subprocess invocations would recompile
+each program per process, and XLA:CPU's compile-time algorithm choice can
+differ under load, breaking cross-process bit-exactness that the in-process
+contract guarantees (one compiled executable serves all chunks).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from nasa_niswan_tpu.data.ncio import open_nc
+from nasa_niswan_tpu.rollout.__main__ import main as serve_main
+
+
+def read_pred(path, var="bcb_conc"):
+    f = open_nc(path)
+    return np.asarray(f.variables[var][:])
+
+
+def test_open_loop_serve_and_resume(tmp_path, canonical_snap):
+    snap = canonical_snap
+    full_nc = str(tmp_path / "full.nc")
+    summary = serve_main(
+        ["--run-dir", snap, "--out", full_nc, "--chunk", "4"]
+    )
+    assert summary["route"] == "open_loop" and summary["steps"] == 12
+    assert summary["cold_start"] and summary["suggested_spinup_steps"] == 2
+    full = read_pred(full_nc)
+    assert full.shape == (12, 16, 24) and np.isfinite(full).all()
+    # coordinate variables + CF no-leap half-hour time axis
+    f = open_nc(full_nc)
+    assert {"bcb_conc", "lat", "lon", "time"} <= set(f.variables)
+    t = np.asarray(f.variables["time"][:])
+    np.testing.assert_allclose(t[:3], [0.0, 0.5, 1.0])
+    assert os.path.exists(os.path.join(snap, "serve_summary.json"))
+
+    # persisted-carry resume: two invocations == one, bit-exact
+    carry = str(tmp_path / "carry.npz")
+    serve_main(
+        ["--run-dir", snap, "--out", str(tmp_path / "p1.nc"),
+         "--steps", "8", "--chunk", "4", "--state-out", carry]
+    )
+    s2 = serve_main(
+        ["--run-dir", snap, "--out", str(tmp_path / "p2.nc"),
+         "--skip", "8", "--chunk", "4", "--state-in", carry]
+    )
+    assert not s2["cold_start"] and s2["suggested_spinup_steps"] == 0
+    stitched = np.concatenate(
+        [read_pred(str(tmp_path / "p1.nc")), read_pred(str(tmp_path / "p2.nc"))]
+    )
+    np.testing.assert_array_equal(full, stitched)
+    # the resumed half's time axis continues where part 1 stopped
+    t2 = np.asarray(open_nc(str(tmp_path / "p2.nc")).variables["time"][:])
+    np.testing.assert_allclose(t2[0], 8 * 0.5)
+
+
+def test_closed_loop_serve_and_resume(tmp_path, seq2seq_snap):
+    snap = seq2seq_snap
+    full_nc = str(tmp_path / "s2s_full.nc")
+    summary = serve_main(
+        ["--run-dir", snap, "--out", full_nc, "--chunk", "4"]
+    )
+    assert summary["route"] == "closed_loop"
+    full = read_pred(full_nc)
+    assert full.ndim == 3 and np.isfinite(full).all()
+
+    carry = str(tmp_path / "carry.npz")
+    serve_main(
+        ["--run-dir", snap, "--out", str(tmp_path / "p1.nc"),
+         "--steps", "8", "--chunk", "4", "--state-out", carry]
+    )
+    # the carry persists the feedback frame alongside (h, c)
+    with np.load(carry) as z:
+        assert "prev_norm" in z.files
+    serve_main(
+        ["--run-dir", snap, "--out", str(tmp_path / "p2.nc"),
+         "--skip", "8", "--chunk", "4", "--state-in", carry]
+    )
+    stitched = np.concatenate(
+        [read_pred(str(tmp_path / "p1.nc")), read_pred(str(tmp_path / "p2.nc"))]
+    )
+    np.testing.assert_array_equal(full, stitched)
+
+
+def test_artifact_serve_matches_live(tmp_path, canonical_snap):
+    """A frozen jax.export artifact serves the same stream the live jit
+    does (rollout/export.py's deployment contract)."""
+    from nasa_niswan_tpu.evalx.snapshot import load_snapshot
+    from nasa_niswan_tpu.rollout.export import export_rollout
+
+    snap = canonical_snap
+    loaded = load_snapshot(snap)
+    art = str(tmp_path / "rollout.bin")
+    export_rollout(
+        loaded.bundle.config, loaded.dataset.normalizer, loaded.params,
+        batch=1, chunk_steps=4, n_channels=loaded.cfg.in_channels,
+        grid_shape=(16, 24), padded_shape=loaded.padded_shape,
+        static=loaded.static, path=art,
+    )
+    live_nc = str(tmp_path / "live.nc")
+    art_nc = str(tmp_path / "art.nc")
+    serve_main(["--run-dir", snap, "--out", live_nc, "--chunk", "4"])
+    summary = serve_main(
+        ["--run-dir", snap, "--out", art_nc, "--artifact", art]
+    )
+    assert summary["route"] == "open_loop"
+    np.testing.assert_allclose(
+        read_pred(live_nc), read_pred(art_nc), atol=1e-5
+    )
+
+
+def test_single_step_feedback_serve(tmp_path, unet6_snap):
+    """UNet-6ch snapshots serve through the closed-loop feedback forward
+    (no recurrent carry); state flags are refused with a clear message."""
+    out_nc = str(tmp_path / "u6.nc")
+    summary = serve_main(["--run-dir", unet6_snap, "--out", out_nc])
+    assert summary["route"] == "single_step"
+    assert summary["suggested_spinup_steps"] == 0
+    preds = read_pred(out_nc)
+    assert preds.ndim == 3 and np.isfinite(preds).all()
+    with pytest.raises(SystemExit, match="state"):
+        serve_main(
+            ["--run-dir", unet6_snap, "--out", out_nc,
+             "--state-out", str(tmp_path / "c.npz")]
+        )
+
+
+def test_serve_guards(tmp_path, canonical_snap):
+    snap = canonical_snap
+    out = str(tmp_path / "x.nc")
+    # a repeat-padded tail would advance the carry over padding frames
+    with pytest.raises(SystemExit, match="divisible"):
+        serve_main(
+            ["--run-dir", snap, "--out", out, "--steps", "7",
+             "--chunk", "4", "--state-out", str(tmp_path / "c.npz")]
+        )
+    with pytest.raises(SystemExit, match="skip"):
+        serve_main(["--run-dir", snap, "--out", out, "--skip", "99"])
+    with pytest.raises(SystemExit, match="steps"):
+        serve_main(["--run-dir", snap, "--out", out, "--steps", "99"])
+
+
+def test_closed_loop_rejects_open_loop_carry(tmp_path, canonical_snap,
+                                             seq2seq_snap):
+    carry = str(tmp_path / "open_carry.npz")
+    serve_main(
+        ["--run-dir", canonical_snap, "--out", str(tmp_path / "a.nc"),
+         "--steps", "8", "--chunk", "4", "--state-out", carry]
+    )
+    with pytest.raises(SystemExit, match="prev_norm"):
+        serve_main(
+            ["--run-dir", seq2seq_snap, "--out", str(tmp_path / "b.nc"),
+             "--state-in", carry]
+        )
