@@ -227,13 +227,6 @@ def _serve_open_loop(snap, args, state_in):
     frames, _ = ds.forcing_stream()  # (T_total, C, h, w) raw dynamic chans
     frames = _slice_stream(frames, args.skip, args.steps)
     T = frames.shape[0]
-    chunk = min(args.chunk, T)
-    if args.state_out and T % chunk:
-        raise SystemExit(
-            f"--state-out needs steps ({T}) divisible by --chunk ({chunk}): "
-            "the repeat-padded tail chunk would advance the carry over "
-            "padding frames"
-        )
     grid_shape = tuple(ds[0][1].shape[-2:])
 
     if args.artifact:
@@ -263,6 +256,13 @@ def _serve_open_loop(snap, args, state_in):
         )
         run = lambda st, x_chunk: fn(x_chunk[None], st)[::-1]  # noqa: E731
     else:
+        chunk = min(args.chunk, T)
+        if args.state_out and T % chunk:
+            raise SystemExit(
+                f"--state-out needs steps ({T}) divisible by --chunk "
+                f"({chunk}): the repeat-padded tail chunk would advance "
+                "the carry over padding frames"
+            )
         rollout = make_rollout_fn(
             snap.bundle.config, ds.normalizer,
             padded_shape=snap.padded_shape, grid_shape=grid_shape,
