@@ -25,12 +25,14 @@ import time
 import numpy as np
 
 
-def _preflight(timeout_s: float = 120.0, attempts: int = 5) -> None:
+def _preflight(timeout_s: float = 120.0, attempts: int = 8) -> None:
     """Fail fast (instead of hanging the harness) if the TPU worker is
     unreachable — a tiny computation must materialize within the timeout.
 
     Outage-proof: retries with backoff (transient tunnel drops recover
-    within a couple of minutes), and on final failure exits via os._exit
+    within a couple of minutes; a cold tunnel wake was MEASURED to take
+    ~8 min of backend init — 4 failed probes — before answering, so the
+    budget must cover ~10 min), and on final failure exits via os._exit
     so interpreter teardown — which the axon tunnel client intermittently
     aborts with "FATAL: exception not rethrown" — never runs.  A teardown
     abort turns a clean rc=1 into rc=134 and loses the diagnostic

@@ -134,6 +134,35 @@ def _pallas2_cell_sharded(cell, inp, hprev, cprev, k: int, dt):
     )
 
 
+def _cells_step(params, inp, carry, config: ConvLSTMConfig, dt):
+    """One timestep through the stacked cells on a shard-LOCAL tile with
+    explicit halo-exchange convs: the per-layer loop shared by the open-loop
+    scan body (_local_convlstm_forward) and the closed-loop feedback scan
+    (make_sharded_feedback_rollout).  Returns (new_carry, h_last)."""
+    fused = config.cell_impl == "pallas2"
+    new_carry = []
+    for li, hc in enumerate(config.hidden_channels):
+        k = config.kernel_sizes[li]
+        cell = params["cells"][li]
+        hprev, cprev = carry[li]
+        if fused:
+            hnew, cnew = _pallas2_cell_sharded(cell, inp, hprev, cprev, k, dt)
+        else:
+            gates = (
+                sharded_conv2d(
+                    inp.astype(dt), cell["w_x"].astype(dt), pad=k // 2
+                )
+                + sharded_conv2d(
+                    hprev.astype(dt), cell["w_h"].astype(dt), pad=k // 2
+                )
+                + cell["b"]
+            )
+            hnew, cnew = gate_update(gates, cprev)
+        new_carry.append((hnew, cnew))
+        inp = hnew
+    return new_carry, inp
+
+
 def _local_convlstm_forward(
     params,
     x_local,
@@ -157,7 +186,6 @@ def _local_convlstm_forward(
     Returns (pred_last (B,h,w,1), taps (T,B,h,w,1) or None, final state).
     """
     dt = jnp.dtype(compute_dtype or config.compute_dtype)
-    fused = config.cell_impl == "pallas2"
     state = [tuple(s) for s in state]
     # tuple inputs (shared met, per-species emission — the multitracer
     # de-duplication): scan over the parts and concat per STEP, so the
@@ -166,29 +194,8 @@ def _local_convlstm_forward(
     xs = tuple(jnp.moveaxis(p, 1, 0) for p in parts)
 
     def step(carry, x_t):
-        new_carry = []
         inp = x_t[0] if len(x_t) == 1 else jnp.concatenate(x_t, axis=-1)
-        for li, hc in enumerate(config.hidden_channels):
-            k = config.kernel_sizes[li]
-            cell = params["cells"][li]
-            hprev, cprev = carry[li]
-            if fused:
-                hnew, cnew = _pallas2_cell_sharded(
-                    cell, inp, hprev, cprev, k, dt
-                )
-            else:
-                gates = (
-                    sharded_conv2d(
-                        inp.astype(dt), cell["w_x"].astype(dt), pad=k // 2
-                    )
-                    + sharded_conv2d(
-                        hprev.astype(dt), cell["w_h"].astype(dt), pad=k // 2
-                    )
-                    + cell["b"]
-                )
-                hnew, cnew = gate_update(gates, cprev)
-            new_carry.append((hnew, cnew))
-            inp = hnew
+        new_carry, inp = _cells_step(params, inp, carry, config, dt)
         tap = None
         if collect_taps:
             # 1x1 head is purely local
@@ -550,3 +557,114 @@ def make_sharded_multitracer_rollout_shared(
         return rollout(stacked_params, met, emissions, state)
 
     return rollout_with_placement
+
+
+def make_sharded_feedback_rollout(
+    config: ConvLSTMConfig,
+    normalizer: Normalizer,
+    mesh: Mesh,
+    *,
+    padded_shape: Tuple[int, int] = (100, 154),
+    grid_shape: Tuple[int, int] = (90, 144),
+    cell_impl: Optional[str] = None,
+):
+    """CLOSED-LOOP (seq2seq feedback) serving with the grid sharded over the
+    mesh — the production deployment mode of config #3 (test.ipynb cell 8's
+    ``X[:, -1] = pred`` run continuously), scaled out spatially.
+
+    Same contract as evalx.evaluate.make_closed_loop_chunk and bit-compatible
+    with it: ``run_chunk(params, state, prev_norm, x_chunk) -> (state,
+    prev_norm, preds)`` with x_chunk raw (Tc, C-1, h, w) meteorology,
+    prev_norm (1, h, w) the previous NORMALIZED prediction, preds (Tc, h, w)
+    physical units.  The returned state is mesh-sharded for chunked
+    continuation; prev_norm comes back in the standard host layout.
+
+    The sequential data dependency of the feedback channel (step t+1's input
+    contains step t's prediction) needs the step-t prediction in the
+    pad_geo layout (cyclic lon wrap + reflective lat mirror of the GLOBAL
+    valid grid) on every tile.  The prediction frame is tiny (one channel,
+    ~60 KB f32 at 100x154), so the rebuild is an all_gather of the tap tiles
+    inside the scan — two ICI collectives per step moving less data than one
+    conv halo — followed by the exact same crop + pad_geo ops the
+    single-device closed loop applies (bit-parity by construction) and a
+    local re-slice.  The conv halos stay the ring-ppermute exchanges of the
+    open-loop sharded scan; on TPU the cells run the fused pallas2 kernel on
+    local tiles (cell_impl="auto").
+    """
+    config = _resolve_sharded_impl(config, cell_impl)
+    H, W = padded_shape
+    norm = normalizer
+    x_mean = jnp.asarray(norm.x_mean).reshape(-1, 1, 1)
+    x_std = jnp.asarray(norm.x_std).reshape(-1, 1, 1)
+    dt = jnp.dtype(config.compute_dtype)
+    tile_spec = P(None, "lat", "lon", None)
+    state_specs = [(tile_spec, tile_spec) for _ in config.hidden_channels]
+    state_sharding = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        state_specs,
+        is_leaf=lambda s: isinstance(s, P),
+    )
+
+    def body(params, xs_local, state, fb0_local):
+        # xs_local (Tc, hl, wl, C-1) local tile of the padded domain;
+        # fb0_local (1, hl, wl, 1) local tile of the padded feedback frame
+        hl, wl = xs_local.shape[1], xs_local.shape[2]
+        i_lat = jax.lax.axis_index("lat")
+        i_lon = jax.lax.axis_index("lon")
+        state = [tuple(s) for s in state]
+
+        def rebuild_fb(pred_local):
+            # (1, hl, wl, 1) normalized padded-domain tap -> next step's
+            # local feedback tile, via the global pad_geo re-map
+            g = jax.lax.all_gather(pred_local, "lat", axis=1, tiled=True)
+            g = jax.lax.all_gather(g, "lon", axis=2, tiled=True)
+            valid = crop_to_grid(g[..., 0], grid_shape)  # (1, h, w)
+            from nasa_niswan_tpu.core.padding import pad_geo
+
+            fb = pad_geo(valid, padded_shape)[..., None]  # (1, H, W, 1)
+            fb = jax.lax.dynamic_slice_in_dim(fb, i_lat * hl, hl, axis=1)
+            return jax.lax.dynamic_slice_in_dim(fb, i_lon * wl, wl, axis=2)
+
+        def step(carry, x_t):
+            st, fb = carry
+            inp = jnp.concatenate([x_t[None], fb], axis=-1)  # (1,hl,wl,C)
+            new_st, h_last = _cells_step(params, inp, st, config, dt)
+            pred = conv2d(
+                h_last.astype(dt),
+                params["head"]["w"].astype(dt),
+                params["head"]["b"],
+            ).astype(jnp.float32)
+            return (new_st, rebuild_fb(pred)), pred[..., 0]  # (1, hl, wl)
+
+        (state, _), taps = jax.lax.scan(step, (state, fb0_local), xs_local)
+        return state, taps  # taps (Tc, 1, hl, wl)
+
+    body_sm = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(None, "lat", "lon", None),
+            state_specs,
+            tile_spec,
+        ),
+        out_specs=(state_specs, P(None, None, "lat", "lon")),
+        check_vma=config.cell_impl != "pallas2",
+    )
+
+    @jax.jit
+    def run_chunk(params, state, prev_norm, x_chunk):
+        from nasa_niswan_tpu.core.padding import pad_geo
+
+        xn = (x_chunk - x_mean) / x_std  # (Tc, C-1, h, w)
+        xs = jnp.moveaxis(pad_geo(xn, padded_shape), 1, -1)  # (Tc, H, W, C-1)
+        fb0 = pad_geo(prev_norm, padded_shape)[..., None]  # (1, H, W, 1)
+        state, taps = body_sm(params, xs, state, fb0)
+        preds_norm = crop_to_grid(taps, grid_shape)  # (Tc, 1, h, w)
+        return state, preds_norm[-1], norm.unnormalize_y(preds_norm[:, 0])
+
+    def run_with_placement(params, state, prev_norm, x_chunk):
+        state = jax.device_put([tuple(s) for s in state], state_sharding)
+        return run_chunk(params, state, prev_norm, x_chunk)
+
+    return run_with_placement

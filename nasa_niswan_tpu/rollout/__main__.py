@@ -120,6 +120,13 @@ def main(argv=None):
                    help="serve this frozen exported rollout (rollout/export.py) "
                         "instead of live-jitting the checkpoint (LSTM "
                         "open-loop snapshots only)")
+    p.add_argument("--sharded", nargs=2, type=int, default=None,
+                   metavar=("LAT", "LON"),
+                   help="shard the grid over a (lat, lon) device mesh "
+                        "(LAT*LON must equal the device count); serves the "
+                        "explicit-halo shard_map rollout — open-loop via "
+                        "parallel/spatial.make_sharded_rollout_fn, "
+                        "closed-loop via make_sharded_feedback_rollout")
     args = p.parse_args(argv)
     _positive("--chunk", args.chunk)
     if args.steps is not None:
@@ -142,6 +149,17 @@ def main(argv=None):
         state_in, prev_in = load_rollout_state(args.state_in)
 
     recurrent = snap.bundle.is_sequence
+    if args.sharded:
+        if args.artifact:
+            raise SystemExit(
+                "--sharded serves the live shard_map rollout; a frozen "
+                "--artifact is a single-device program"
+            )
+        if not recurrent or snap.feedback_single:
+            raise SystemExit(
+                "--sharded applies to LSTM-family snapshots (the recurrent "
+                f"scan is what shards); this is {snap.bundle.family}"
+            )
     if not recurrent or snap.feedback_single:
         # single-step families have no recurrent carry to persist
         for flag, name in ((args.state_in, "--state-in"),
@@ -263,11 +281,25 @@ def _serve_open_loop(snap, args, state_in):
                 f"({chunk}): the repeat-padded tail chunk would advance "
                 "the carry over padding frames"
             )
-        rollout = make_rollout_fn(
-            snap.bundle.config, ds.normalizer,
-            padded_shape=snap.padded_shape, grid_shape=grid_shape,
-            static=snap.static,
-        )
+        if args.sharded:
+            lat, lon = args.sharded
+            from nasa_niswan_tpu.parallel.mesh import make_mesh
+            from nasa_niswan_tpu.parallel.spatial import (
+                make_sharded_rollout_fn,
+            )
+
+            rollout = make_sharded_rollout_fn(
+                snap.bundle.config, ds.normalizer,
+                make_mesh(dp=1, lat=lat, lon=lon),
+                padded_shape=snap.padded_shape, grid_shape=grid_shape,
+                static=snap.static,
+            )
+        else:
+            rollout = make_rollout_fn(
+                snap.bundle.config, ds.normalizer,
+                padded_shape=snap.padded_shape, grid_shape=grid_shape,
+                static=snap.static,
+            )
         state = state_in  # None -> zero init inside convlstm_apply
         run = lambda st, x_chunk: rollout(  # noqa: E731
             snap.params, x_chunk[None], st
@@ -323,10 +355,22 @@ def _serve_closed_loop(snap, args, state_in, prev_in):
             "the repeat-padded tail chunk would advance the carry over "
             "padding frames"
         )
-    run_chunk = make_closed_loop_chunk(
-        snap.bundle.config, norm,
-        padded_shape=snap.padded_shape, grid_shape=grid_shape,
-    )
+    if args.sharded:
+        lat, lon = args.sharded
+        from nasa_niswan_tpu.parallel.mesh import make_mesh
+        from nasa_niswan_tpu.parallel.spatial import (
+            make_sharded_feedback_rollout,
+        )
+
+        run_chunk = make_sharded_feedback_rollout(
+            snap.bundle.config, norm, make_mesh(dp=1, lat=lat, lon=lon),
+            padded_shape=snap.padded_shape, grid_shape=grid_shape,
+        )
+    else:
+        run_chunk = make_closed_loop_chunk(
+            snap.bundle.config, norm,
+            padded_shape=snap.padded_shape, grid_shape=grid_shape,
+        )
     preds, (state, prev_norm) = run_chunked_episode_carry(
         lambda st, prev, x: run_chunk(snap.params, st, prev, x),
         [state, prev_norm], frames, chunk,

@@ -455,3 +455,58 @@ def test_sharded_multitracer_shared_met_parity(rng):
     # per-species-forcings equivalence is covered by
     # test_sharded_multitracer_rollout_parity_and_continuation (both match
     # the unsharded programs, which match each other on identical inputs)
+
+
+def test_sharded_feedback_rollout_matches_closed_loop(rng):
+    """The sharded CLOSED-LOOP (seq2seq feedback) chunk — conv halos by ring
+    ppermute, per-step feedback rebuilt from an all_gather of the tap tiles
+    — matches evalx's single-device closed loop bit-for-bit in contract:
+    predictions, the final (h, c) carry, AND the prev_norm feedback frame,
+    including continuation across chunk boundaries."""
+    from nasa_niswan_tpu.data.dataset import Normalizer
+    from nasa_niswan_tpu.evalx.evaluate import (
+        make_closed_loop_chunk,
+        run_chunked_episode_carry,
+        zero_closed_loop_state,
+    )
+    from nasa_niswan_tpu.parallel.spatial import make_sharded_feedback_rollout
+
+    mesh = make_mesh(dp=2, lat=2, lon=2)
+    grid, padded = (12, 20), (16, 24)
+    cfg = ConvLSTMConfig(4, (4, 3), (3, 3))  # 3 met channels + feedback
+    params = convlstm_init(jax.random.PRNGKey(3), cfg)
+    norm = Normalizer(
+        x_mean=np.linspace(-0.2, 0.1, 3).astype(np.float32),
+        x_std=np.linspace(0.8, 1.2, 3).astype(np.float32),
+        y_mean=0.3, y_std=2.0,
+    )
+    frames = rng.standard_normal((8, 3, *grid)).astype(np.float32)
+    prev0 = rng.standard_normal((1, *grid)).astype(np.float32)
+
+    ref_chunk = make_closed_loop_chunk(
+        cfg, norm, padded_shape=padded, grid_shape=grid
+    )
+    want, (st_ref, prev_ref) = run_chunked_episode_carry(
+        lambda st, pv, x: ref_chunk(params, st, pv, x),
+        [zero_closed_loop_state(cfg, padded), prev0], frames, 4,
+    )
+
+    sh_chunk = make_sharded_feedback_rollout(
+        cfg, norm, mesh, padded_shape=padded, grid_shape=grid
+    )
+    got, (st_sh, prev_sh) = run_chunked_episode_carry(
+        lambda st, pv, x: sh_chunk(params, st, pv, x),
+        [zero_closed_loop_state(cfg, padded), prev0], frames, 4,
+    )
+
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(prev_sh), np.asarray(prev_ref), atol=5e-5
+    )
+    for (h1, c1), (h2, c2) in zip(st_sh, st_ref):
+        np.testing.assert_allclose(
+            np.asarray(h1), np.asarray(h2), atol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(c1), np.asarray(c2), atol=5e-5
+        )

@@ -160,3 +160,34 @@ def test_closed_loop_rejects_open_loop_carry(tmp_path, canonical_snap,
             ["--run-dir", seq2seq_snap, "--out", str(tmp_path / "b.nc"),
              "--state-in", carry]
         )
+
+
+def test_sharded_serve_matches_single_device(tmp_path, canonical_snap,
+                                             seq2seq_snap):
+    """--sharded LAT LON serves the explicit-halo shard_map rollout over
+    the 8-device CPU mesh: open-loop and closed-loop routes both match the
+    single-device serve; guards refuse non-recurrent snapshots."""
+    plain_nc = str(tmp_path / "plain.nc")
+    shard_nc = str(tmp_path / "shard.nc")
+    serve_main(["--run-dir", canonical_snap, "--out", plain_nc,
+                "--chunk", "4"])
+    s = serve_main(["--run-dir", canonical_snap, "--out", shard_nc,
+                    "--chunk", "4", "--sharded", "2", "4"])
+    assert s["route"] == "open_loop"
+    np.testing.assert_allclose(
+        read_pred(shard_nc), read_pred(plain_nc), atol=1e-5
+    )
+
+    plain2 = str(tmp_path / "plain2.nc")
+    shard2 = str(tmp_path / "shard2.nc")
+    serve_main(["--run-dir", seq2seq_snap, "--out", plain2, "--chunk", "4"])
+    s2 = serve_main(["--run-dir", seq2seq_snap, "--out", shard2,
+                     "--chunk", "4", "--sharded", "2", "4"])
+    assert s2["route"] == "closed_loop"
+    np.testing.assert_allclose(
+        read_pred(shard2), read_pred(plain2), atol=1e-5
+    )
+
+    with pytest.raises(SystemExit, match="sharded"):
+        serve_main(["--run-dir", canonical_snap, "--out", shard_nc,
+                    "--sharded", "2", "4", "--artifact", "x.bin"])
