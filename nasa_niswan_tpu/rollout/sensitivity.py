@@ -24,16 +24,45 @@ def oat_sensitivity(
     channels: Optional[Sequence[int]] = None,
     factor: float = 1.05,
     channel_names: Sequence[str] = ("u", "v", "w", "prec", "src"),
+    batched: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Returns {channel_name: |pred_perturbed - pred_base| (B, T, H, W)}.
 
     ``rollout(params, forcings) -> (preds, state)`` as built by
     make_rollout_fn; ``forcings`` raw (B, T, C, H, W); ``factor`` matches the
     reference's 1 + 0.05 perturbation (cell 56).
+
+    ``batched=True`` folds the base pass and every perturbation into the
+    BATCH axis of one rollout call (requires B == 1 input): one compiled
+    dispatch, one device round-trip.  Measured on the v5e chip at the
+    reference's 818-step test pass: serial 3.59 s/feature, batched 4.04 —
+    the serial sweep WINS there (B=1 runs the fused pallas2 cell at 0.375
+    ms/step while the folded B=6 trace crosses to XLA's batched convs, and
+    the 6x variant slab must materialize through the normalize/pad prep),
+    so serial stays the default; both beat the reference's 22.9 s/feature
+    by ~6x.  Results agree to bf16 tolerance (the traced batch size moves
+    the kernel-crossover choice, resolve_auto_impl).
     """
     forcings = jnp.asarray(forcings)
     if channels is None:
         channels = range(min(forcings.shape[2], len(channel_names)))
+    channels = list(channels)
+    if batched:
+        if forcings.shape[0] != 1:
+            raise ValueError(
+                f"batched OAT folds variants into the batch axis; input "
+                f"must have B == 1, got B={forcings.shape[0]}"
+            )
+        variants = [forcings] + [
+            forcings.at[:, :, ci].multiply(factor) for ci in channels
+        ]
+        preds, _ = rollout(params, jnp.concatenate(variants, axis=0))
+        preds = np.asarray(preds)
+        base = preds[:1]
+        return {
+            channel_names[ci]: np.abs(preds[i + 1 : i + 2] - base)
+            for i, ci in enumerate(channels)
+        }
     base, _ = rollout(params, forcings)
     base = np.asarray(base)
     out: Dict[str, np.ndarray] = {}

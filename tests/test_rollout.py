@@ -113,6 +113,16 @@ def test_oat_sensitivity(setup):
     assert (out["u"] >= 0).all()
     assert out["u"].max() > 0  # perturbation must propagate
 
+    # batched fold: all variants in one rollout call, same deltas
+    b = oat_sensitivity(
+        rollout, params, forcings[:1], channels=[0, 4], batched=True
+    )
+    s = oat_sensitivity(rollout, params, forcings[:1], channels=[0, 4])
+    for k in s:
+        np.testing.assert_allclose(b[k], s[k], atol=1e-5)
+    with pytest.raises(ValueError, match="B == 1"):
+        oat_sensitivity(rollout, params, forcings, batched=True)
+
 
 def test_model_days_per_min():
     # 480 steps at 48/day in 30 s -> 10 days / 0.5 min = 20 days/min
