@@ -147,39 +147,113 @@ def make_closed_loop_chunk(config, normalizer, *, padded_shape, grid_shape):
     -> (state, prev_norm, preds)`` with x_chunk raw (Tc, C-1, h, w),
     prev_norm (1, h, w) normalized, preds (Tc, h, w) physical units.
     Shared by the evaluation (`predict_test_closed_loop`) and serving
-    (``python -m nasa_niswan_tpu.rollout``) paths."""
+    (``python -m nasa_niswan_tpu.rollout``) paths.
+
+    Implemented as a NATIVE scan (not a per-step T=1 ``convlstm_apply``):
+    the met channels are normalized/padded/cast once per chunk and the
+    (h, c) carry stays in the kernel layout for the whole scan — only the
+    one-channel feedback frame is rebuilt per step (pad_geo of the previous
+    prediction).  Measured at config-#3 shapes on the v5e chip,
+    device-resident inputs: **0.50 ms/step (~2,400 model-days/min)** with
+    the fused pallas2 cells, 0.59 with XLA — statistically tied with the
+    per-step-apply form (XLA fuses that form's per-step entry/exit layout
+    conversions away); the naive wall-clock "6.5 ms/step" both forms show
+    through the dev tunnel is the 125 MB/chunk forcing upload, not compute
+    (production pattern: upload year blocks once, slice on device, like
+    scripts/run_decadal_rollout.py).  The native scan is kept for its
+    structural guarantees (no reliance on the compiler eliding the churn)
+    and its symmetry with the sharded feedback body
+    (parallel/spatial.make_sharded_feedback_rollout).  Note: ``fuse_tail``
+    and the v1 ``pallas`` cell are not routed here — serving-scan opt-ins
+    measured throughput-neutral; cell_impl resolves pallas2 or xla only
+    (``resolve_auto_impl`` at the traced B=1)."""
     import jax
     import jax.numpy as jnp
 
     from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
-    from nasa_niswan_tpu.models.convlstm import convlstm_apply
+    from nasa_niswan_tpu.models.convlstm import (
+        _cell_step_xla,
+        resolve_auto_impl,
+    )
+    from nasa_niswan_tpu.ops.conv import conv2d
 
     norm = normalizer
     x_mean = jnp.asarray(norm.x_mean).reshape(-1, 1, 1)
     x_std = jnp.asarray(norm.x_std).reshape(-1, 1, 1)
+    dt = jnp.dtype(config.compute_dtype)
+    H, W = padded_shape
+
+    impl = config.cell_impl
+    if impl == "auto":
+        impl = resolve_auto_impl(1, mode="forward")
+    pallas2 = impl == "pallas2"
+    if pallas2:
+        from nasa_niswan_tpu.ops.convlstm_pallas2 import (
+            cell_step_pallas2,
+            col_margin,
+            pad_cols,
+            padded_cols,
+        )
+
+        o2 = col_margin(config.kernel_sizes)
+        wp = padded_cols(W, o2)
+        cell_step = lambda cell, xt, h, c, k: cell_step_pallas2(  # noqa: E731
+            cell, xt, h, c, k, dt, o2, W, split=config.split_xh
+        )
+    else:
+        o2 = 0
+        cell_step = lambda cell, xt, h, c, k: _cell_step_xla(  # noqa: E731
+            cell, xt, h, c, k, dt
+        )
 
     @jax.jit
     def run_chunk(params, state, prev_norm, x_chunk):
         # x_chunk: raw (Tc, C-1, h, w); prev_norm: (1, h, w) normalized
         xn = (x_chunk - x_mean) / x_std
-        xs = jnp.moveaxis(pad_geo(xn, padded_shape), 1, -1)  # (Tc, H, W, C-1)
+        # (Tc, 1, H, W, C-1) in the compute dtype, once per chunk
+        xs = jnp.moveaxis(pad_geo(xn, padded_shape), 1, -1)[:, None]
+        xs = xs.astype(dt)
+        state = [tuple(s) for s in state]
+        if pallas2:
+            xs = pad_cols(xs, o2, wp)
+            if state[0][0].shape[2] == W:  # standard-layout carry handover
+                state = [
+                    (pad_cols(h, o2, wp), pad_cols(c, o2, wp))
+                    for h, c in state
+                ]
 
         def step(carry, x_t):
-            state, prev = carry
-            fb = pad_geo(prev, padded_shape)  # (1, H, W)
-            frame = jnp.concatenate(
-                [x_t[None], fb[..., None]], axis=-1
-            )[:, None]  # (1, 1, H, W, C)
-            pred_pad, new_state = convlstm_apply(
-                params, frame, config, initial_state=state, return_state=True
-            )
+            st, prev = carry  # prev: (1, h, w) f32 normalized
+            fb = pad_geo(prev, padded_shape).astype(dt)[..., None]
+            if pallas2:
+                fb = pad_cols(fb, o2, wp)
+            inp = jnp.concatenate([x_t, fb], axis=-1)  # (1, H, W', C)
+            new_st = []
+            for li in range(config.num_layers):
+                h, c = st[li]
+                h, c = cell_step(
+                    params["cells"][li], inp, h, c, config.kernel_sizes[li]
+                )
+                new_st.append((h, c))
+                inp = h
+            tap_in = inp[:, :, o2 : o2 + W, :] if pallas2 else inp
+            pred_pad = conv2d(
+                tap_in.astype(dt),
+                params["head"]["w"].astype(dt),
+                params["head"]["b"],
+            ).astype(jnp.float32)
             pred = crop_to_grid(pred_pad[..., 0], grid_shape)  # (1, h, w)
-            return (new_state, pred), norm.unnormalize_y(pred[0])
+            return (new_st, pred), pred
 
-        (state, prev_norm), preds = jax.lax.scan(
+        (state, prev_norm), preds_n = jax.lax.scan(
             step, (state, prev_norm), xs
         )
-        return state, prev_norm, preds
+        if pallas2:  # return the carry in the standard layout (see _finish)
+            state = [
+                (h[:, :, o2 : o2 + W, :], c[:, :, o2 : o2 + W, :])
+                for h, c in state
+            ]
+        return state, prev_norm, norm.unnormalize_y(preds_n[:, 0])
 
     return run_chunk
 
