@@ -124,15 +124,19 @@ def _run_chunked_episode(run_chunk, carry, frames, chunk_steps: int):
 def run_chunked_episode_carry(run_chunk, carry, frames, chunk_steps: int):
     """`_run_chunked_episode` that also returns the final carry (see its
     tail-padding caveat)."""
+    import jax.numpy as jnp
+
     T = frames.shape[0]
     chunk_steps = min(chunk_steps, T)
     preds = []
     for s in range(0, T, chunk_steps):
         x_chunk = frames[s : s + chunk_steps]
-        n_valid = len(x_chunk)
+        n_valid = x_chunk.shape[0]
         if n_valid < chunk_steps:  # pad tail to keep the trace static
-            x_chunk = np.concatenate(
-                [x_chunk, np.repeat(x_chunk[-1:], chunk_steps - n_valid, 0)]
+            # jnp ops so a device-resident stream pads on device (the
+            # serving CLI uploads the stream once, --resident-gb)
+            x_chunk = jnp.concatenate(
+                [x_chunk, jnp.repeat(x_chunk[-1:], chunk_steps - n_valid, 0)]
             )
         *carry, p = run_chunk(*carry, x_chunk)
         preds.append(np.asarray(p)[:n_valid])

@@ -56,6 +56,32 @@ def _slice_stream(frames: np.ndarray, skip: int, steps: int | None):
     return out
 
 
+def _device_resident(frames, limit_gb: float):
+    """Upload the sliced forcing stream to the device ONCE when it fits;
+    per-chunk slices then move no host data.  Measured at config-#3
+    canonical shapes: per-chunk host uploads wall ~6 ms/step through a dev
+    link while the compute is 0.5 — the decadal runner's block-resident
+    pattern, applied to the CLI (docs/PERFORMANCE.md closed-loop row)."""
+    if limit_gb > 0 and frames.nbytes <= limit_gb * 1e9:
+        import jax
+
+        return jax.device_put(frames)
+    return frames
+
+
+def _pad_tail(x_chunk, chunk: int):
+    """Repeat-pad a short tail chunk to the static trace length (device-side
+    when the stream is device-resident)."""
+    import jax.numpy as jnp
+
+    n_valid = x_chunk.shape[0]
+    if n_valid == chunk:
+        return x_chunk
+    return jnp.concatenate(
+        [x_chunk, jnp.repeat(x_chunk[-1:], chunk - n_valid, axis=0)]
+    )
+
+
 def _write_predictions(
     path: str, preds: np.ndarray, species: str, *, t0_index: int, fmt: str
 ) -> str:
@@ -120,6 +146,11 @@ def main(argv=None):
                    help="serve this frozen exported rollout (rollout/export.py) "
                         "instead of live-jitting the checkpoint (LSTM "
                         "open-loop snapshots only)")
+    p.add_argument("--resident-gb", type=float, default=4.0,
+                   help="upload the whole forcing stream to the device once "
+                        "when it fits in this many GB (0 disables); avoids "
+                        "per-chunk host uploads, which dominate serving "
+                        "wall time over slow links")
     p.add_argument("--sharded", nargs=2, type=int, default=None,
                    metavar=("LAT", "LON"),
                    help="shard the grid over a (lat, lon) device mesh "
@@ -305,15 +336,12 @@ def _serve_open_loop(snap, args, state_in):
             snap.params, x_chunk[None], st
         )[::-1]
 
+    frames = _device_resident(frames, args.resident_gb)
     preds = []
     for s in range(0, T, chunk):
         x_chunk = frames[s : s + chunk]
-        n_valid = len(x_chunk)
-        if n_valid < chunk:  # repeat-pad the tail to keep the trace static
-            x_chunk = np.concatenate(
-                [x_chunk, np.repeat(x_chunk[-1:], chunk - n_valid, 0)]
-            )
-        state, p = run(state, x_chunk)
+        n_valid = x_chunk.shape[0]
+        state, p = run(state, _pad_tail(x_chunk, chunk))
         preds.append(np.asarray(p)[0, :n_valid])
     return np.concatenate(preds), state, args.skip
 
@@ -373,7 +401,8 @@ def _serve_closed_loop(snap, args, state_in, prev_in):
         )
     preds, (state, prev_norm) = run_chunked_episode_carry(
         lambda st, prev, x: run_chunk(snap.params, st, prev, x),
-        [state, prev_norm], frames, chunk,
+        [state, prev_norm], _device_resident(frames, args.resident_gb),
+        chunk,
     )
     return preds, state, prev_norm, args.skip
 
