@@ -191,3 +191,17 @@ def test_sharded_serve_matches_single_device(tmp_path, canonical_snap,
     with pytest.raises(SystemExit, match="sharded"):
         serve_main(["--run-dir", canonical_snap, "--out", shard_nc,
                     "--sharded", "2", "4", "--artifact", "x.bin"])
+
+    # sharded carry persists (gathered to host npz) and resumes: two
+    # sharded invocations == the full sharded serve, bit-exact
+    carry = str(tmp_path / "sh_carry.npz")
+    serve_main(["--run-dir", seq2seq_snap, "--out", str(tmp_path / "q1.nc"),
+                "--steps", "8", "--chunk", "4", "--sharded", "2", "4",
+                "--state-out", carry])
+    serve_main(["--run-dir", seq2seq_snap, "--out", str(tmp_path / "q2.nc"),
+                "--skip", "8", "--chunk", "4", "--sharded", "2", "4",
+                "--state-in", carry])
+    stitched = np.concatenate(
+        [read_pred(str(tmp_path / "q1.nc")), read_pred(str(tmp_path / "q2.nc"))]
+    )
+    np.testing.assert_array_equal(read_pred(shard2), stitched)
