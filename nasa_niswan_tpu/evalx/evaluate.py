@@ -124,23 +124,30 @@ def _run_chunked_episode(run_chunk, carry, frames, chunk_steps: int):
 def run_chunked_episode_carry(run_chunk, carry, frames, chunk_steps: int):
     """`_run_chunked_episode` that also returns the final carry (see its
     tail-padding caveat)."""
-    import jax.numpy as jnp
-
     T = frames.shape[0]
     chunk_steps = min(chunk_steps, T)
     preds = []
     for s in range(0, T, chunk_steps):
         x_chunk = frames[s : s + chunk_steps]
         n_valid = x_chunk.shape[0]
-        if n_valid < chunk_steps:  # pad tail to keep the trace static
-            # jnp ops so a device-resident stream pads on device (the
-            # serving CLI uploads the stream once, --resident-gb)
-            x_chunk = jnp.concatenate(
-                [x_chunk, jnp.repeat(x_chunk[-1:], chunk_steps - n_valid, 0)]
-            )
-        *carry, p = run_chunk(*carry, x_chunk)
+        *carry, p = run_chunk(*carry, pad_tail_chunk(x_chunk, chunk_steps))
         preds.append(np.asarray(p)[:n_valid])
     return np.concatenate(preds), carry
+
+
+def pad_tail_chunk(x_chunk, chunk: int):
+    """Repeat-pad a short tail chunk (leading time axis) to the static trace
+    length.  jnp ops so a device-resident stream pads on device (the serving
+    CLI uploads the stream once, ``--resident-gb``); shared by the episode
+    runner above and the open-loop serve loop (rollout/__main__.py)."""
+    import jax.numpy as jnp
+
+    n_valid = x_chunk.shape[0]
+    if n_valid == chunk:
+        return x_chunk
+    return jnp.concatenate(
+        [x_chunk, jnp.repeat(x_chunk[-1:], chunk - n_valid, axis=0)]
+    )
 
 
 def make_closed_loop_chunk(config, normalizer, *, padded_shape, grid_shape):
@@ -167,10 +174,10 @@ def make_closed_loop_chunk(config, normalizer, *, padded_shape, grid_shape):
     scripts/run_decadal_rollout.py).  The native scan is kept for its
     structural guarantees (no reliance on the compiler eliding the churn)
     and its symmetry with the sharded feedback body
-    (parallel/spatial.make_sharded_feedback_rollout).  Note: ``fuse_tail``
-    and the v1 ``pallas`` cell are not routed here — serving-scan opt-ins
-    measured throughput-neutral; cell_impl resolves pallas2 or xla only
-    (``resolve_auto_impl`` at the traced B=1)."""
+    (parallel/spatial.make_sharded_feedback_rollout).  Every cell_impl is
+    routed (``resolve_auto_impl`` at the traced B=1); the one serving
+    opt-in NOT routed is ``fuse_tail`` (measured throughput-neutral) —
+    a warning says so when the config requests it."""
     import jax
     import jax.numpy as jnp
 
@@ -185,11 +192,20 @@ def make_closed_loop_chunk(config, normalizer, *, padded_shape, grid_shape):
     x_mean = jnp.asarray(norm.x_mean).reshape(-1, 1, 1)
     x_std = jnp.asarray(norm.x_std).reshape(-1, 1, 1)
     dt = jnp.dtype(config.compute_dtype)
-    H, W = padded_shape
+    W = padded_shape[1]
 
     impl = config.cell_impl
     if impl == "auto":
         impl = resolve_auto_impl(1, mode="forward")
+    if config.fuse_tail:
+        import warnings
+
+        warnings.warn(
+            "fuse_tail is not routed in the closed-loop scan (the tail "
+            "kernel measured throughput-neutral, docs/PERFORMANCE.md); "
+            "running per-layer cells",
+            stacklevel=2,
+        )
     pallas2 = impl == "pallas2"
     if pallas2:
         from nasa_niswan_tpu.ops.convlstm_pallas2 import (
@@ -203,6 +219,13 @@ def make_closed_loop_chunk(config, normalizer, *, padded_shape, grid_shape):
         wp = padded_cols(W, o2)
         cell_step = lambda cell, xt, h, c, k: cell_step_pallas2(  # noqa: E731
             cell, xt, h, c, k, dt, o2, W, split=config.split_xh
+        )
+    elif impl == "pallas":  # v1 shifted-window kernel, standard layout
+        from nasa_niswan_tpu.ops.convlstm_pallas import cell_step_pallas
+
+        o2 = 0
+        cell_step = lambda cell, xt, h, c, k: cell_step_pallas(  # noqa: E731
+            cell, xt, h, c, k, dt
         )
     else:
         o2 = 0

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from nasa_niswan_tpu.core.padding import crop_to_grid
+from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
 from nasa_niswan_tpu.data.dataset import Normalizer
 from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, gate_update
 from nasa_niswan_tpu.models.registry import ModelBundle
@@ -516,7 +516,6 @@ def make_sharded_multitracer_rollout_shared(
 
     @jax.jit
     def rollout(stacked_params, met, emissions, state=None):
-        from nasa_niswan_tpu.core.padding import pad_geo
         from nasa_niswan_tpu.rollout.multitracer import (
             _split_state,
             _stack_states,
@@ -619,8 +618,6 @@ def make_sharded_feedback_rollout(
             g = jax.lax.all_gather(pred_local, "lat", axis=1, tiled=True)
             g = jax.lax.all_gather(g, "lon", axis=2, tiled=True)
             valid = crop_to_grid(g[..., 0], grid_shape)  # (1, h, w)
-            from nasa_niswan_tpu.core.padding import pad_geo
-
             fb = pad_geo(valid, padded_shape)[..., None]  # (1, H, W, 1)
             fb = jax.lax.dynamic_slice_in_dim(fb, i_lat * hl, hl, axis=1)
             return jax.lax.dynamic_slice_in_dim(fb, i_lon * wl, wl, axis=2)
@@ -634,6 +631,11 @@ def make_sharded_feedback_rollout(
                 params["head"]["w"].astype(dt),
                 params["head"]["b"],
             ).astype(jnp.float32)
+            # the LAST step's rebuild is discarded with the final fb carry —
+            # a uniform scan body cannot skip it, and restructuring (carrying
+            # the pred tile or the global valid frame instead) just relocates
+            # the one redundant rebuild; cost is 2 gathers of a ~60 KB frame
+            # per chunk, noise next to the T conv halos
             return (new_st, rebuild_fb(pred)), pred[..., 0]  # (1, hl, wl)
 
         (state, _), taps = jax.lax.scan(step, (state, fb0_local), xs_local)
@@ -654,8 +656,6 @@ def make_sharded_feedback_rollout(
 
     @jax.jit
     def run_chunk(params, state, prev_norm, x_chunk):
-        from nasa_niswan_tpu.core.padding import pad_geo
-
         xn = (x_chunk - x_mean) / x_std  # (Tc, C-1, h, w)
         xs = jnp.moveaxis(pad_geo(xn, padded_shape), 1, -1)  # (Tc, H, W, C-1)
         fb0 = pad_geo(prev_norm, padded_shape)[..., None]  # (1, H, W, 1)

@@ -61,25 +61,49 @@ def _device_resident(frames, limit_gb: float):
     per-chunk slices then move no host data.  Measured at config-#3
     canonical shapes: per-chunk host uploads wall ~6 ms/step through a dev
     link while the compute is 0.5 — the decadal runner's block-resident
-    pattern, applied to the CLI (docs/PERFORMANCE.md closed-loop row)."""
+    pattern, applied to the CLI (docs/PERFORMANCE.md closed-loop row).
+
+    Falls back to host streaming (the pre-resident behavior) if the device
+    allocator refuses the slab — params/activations may leave less free HBM
+    than the size check assumes; serving must not fail where streaming
+    would have worked."""
     if limit_gb > 0 and frames.nbytes <= limit_gb * 1e9:
+        import sys
+
         import jax
 
-        return jax.device_put(frames)
+        try:
+            return jax.block_until_ready(jax.device_put(frames))
+        except Exception as e:  # RESOURCE_EXHAUSTED and friends
+            print(
+                f"serve: device-resident upload of {frames.nbytes/1e9:.2f} "
+                f"GB failed ({type(e).__name__}); streaming chunks from "
+                "host instead (--resident-gb 0 silences this)",
+                file=sys.stderr,
+            )
     return frames
 
 
-def _pad_tail(x_chunk, chunk: int):
-    """Repeat-pad a short tail chunk to the static trace length (device-side
-    when the stream is device-resident)."""
-    import jax.numpy as jnp
+def _build_mesh(lat: int, lon: int, padded_shape):
+    """Validate and build the (1, lat, lon) serving mesh with CLI-grade
+    errors (raw tracebacks from make_mesh/shard_map are not actionable)."""
+    import jax
 
-    n_valid = x_chunk.shape[0]
-    if n_valid == chunk:
-        return x_chunk
-    return jnp.concatenate(
-        [x_chunk, jnp.repeat(x_chunk[-1:], chunk - n_valid, axis=0)]
-    )
+    from nasa_niswan_tpu.parallel.mesh import make_mesh
+
+    n = jax.device_count()
+    if lat < 1 or lon < 1 or lat * lon != n:
+        raise SystemExit(
+            f"--sharded {lat} {lon}: lat*lon must equal the device count "
+            f"({n} visible)"
+        )
+    H, W = padded_shape
+    if H % lat or W % lon:
+        raise SystemExit(
+            f"--sharded {lat} {lon}: the padded grid {H}x{W} must tile "
+            f"evenly (H % lat == 0 and W % lon == 0)"
+        )
+    return make_mesh(dp=1, lat=lat, lon=lon)
 
 
 def _write_predictions(
@@ -313,15 +337,13 @@ def _serve_open_loop(snap, args, state_in):
                 "the carry over padding frames"
             )
         if args.sharded:
-            lat, lon = args.sharded
-            from nasa_niswan_tpu.parallel.mesh import make_mesh
             from nasa_niswan_tpu.parallel.spatial import (
                 make_sharded_rollout_fn,
             )
 
             rollout = make_sharded_rollout_fn(
                 snap.bundle.config, ds.normalizer,
-                make_mesh(dp=1, lat=lat, lon=lon),
+                _build_mesh(*args.sharded, snap.padded_shape),
                 padded_shape=snap.padded_shape, grid_shape=grid_shape,
                 static=snap.static,
             )
@@ -336,12 +358,14 @@ def _serve_open_loop(snap, args, state_in):
             snap.params, x_chunk[None], st
         )[::-1]
 
+    from nasa_niswan_tpu.evalx.evaluate import pad_tail_chunk
+
     frames = _device_resident(frames, args.resident_gb)
     preds = []
     for s in range(0, T, chunk):
         x_chunk = frames[s : s + chunk]
         n_valid = x_chunk.shape[0]
-        state, p = run(state, _pad_tail(x_chunk, chunk))
+        state, p = run(state, pad_tail_chunk(x_chunk, chunk))
         preds.append(np.asarray(p)[0, :n_valid])
     return np.concatenate(preds), state, args.skip
 
@@ -384,14 +408,13 @@ def _serve_closed_loop(snap, args, state_in, prev_in):
             "padding frames"
         )
     if args.sharded:
-        lat, lon = args.sharded
-        from nasa_niswan_tpu.parallel.mesh import make_mesh
         from nasa_niswan_tpu.parallel.spatial import (
             make_sharded_feedback_rollout,
         )
 
         run_chunk = make_sharded_feedback_rollout(
-            snap.bundle.config, norm, make_mesh(dp=1, lat=lat, lon=lon),
+            snap.bundle.config, norm,
+            _build_mesh(*args.sharded, snap.padded_shape),
             padded_shape=snap.padded_shape, grid_shape=grid_shape,
         )
     else:
