@@ -26,15 +26,19 @@ import os
 PEAK_BF16_TFLOPS = 197.0
 
 
-def conv_gflops_per_step(width: int) -> float:
+CONFIGS = {
+    # (k, cin + h, 4h) per layer of the traced model
+    "northstar": [(5, 62 + 64, 256), (3, 64 + 32, 128), (3, 32 + 16, 64)],
+    # config #3 closed loop: 6ch surface (5 met + feedback)
+    "closedloop6": [(5, 6 + 64, 256), (3, 64 + 32, 128), (3, 32 + 16, 64)],
+}
+
+
+def conv_gflops_per_step(width: int, config: str = "northstar") -> float:
     """Analytic gate-conv FLOPs of one rollout step (batch 1), NHWC
     (100, width) frames: per layer 2*k^2*(Cin+h)*4h*H*W."""
     H = 100
-    layers = [  # (k, cin + h, 4h)
-        (5, 62 + 64, 256),
-        (3, 64 + 32, 128),
-        (3, 32 + 16, 64),
-    ]
+    layers = CONFIGS[config]
     fl = sum(2 * k * k * cin * cout * H * width for k, cin, cout in layers)
     fl += 2 * 16 * 1 * H * width  # 1x1 head tap
     return fl / 1e9
@@ -62,6 +66,8 @@ def main():
                     help="conv width for FLOP accounting (default: 160 "
                          "for pallas2 labels — the column-padded layout "
                          "computes margins too — else 154)")
+    ap.add_argument("--config", default="northstar", choices=sorted(CONFIGS),
+                    help="traced model for analytic FLOP accounting")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -86,11 +92,12 @@ def main():
     conv_us = sum(d for n, d in top if "conv" in n.lower())
 
     width = args.width or (160 if "pallas" in args.label else 154)
-    gflops = conv_gflops_per_step(width)
+    gflops = conv_gflops_per_step(width, args.config)
     dev_ms_step = total_us / 1e3 / args.steps
     tflops = gflops / max(dev_ms_step, 1e-9)  # GFLOP / ms == TFLOP/s
     summary = {
         "label": args.label,
+        "config": args.config,
         "steps": args.steps,
         "trace": os.path.relpath(path),
         "device_total_ms": round(total_us / 1e3, 2),
