@@ -53,9 +53,17 @@ def main():
     assert jax.device_count() == n_global, jax.devices()
     assert jax.local_device_count() == args.local_devices
 
-    loss, r2 = run_dp_step(make_mesh(dp=2, lat=2, lon=2))
+    mesh = make_mesh(dp=2, lat=2, lon=2)
+    loss, r2 = run_dp_step(mesh)
+    pmean, pstd = run_spatial_rollout(mesh)
     if rank == 0:
-        print(json.dumps({"loss": loss, "r2": r2}), flush=True)
+        print(
+            json.dumps(
+                {"loss": loss, "r2": r2,
+                 "pred_mean": pmean, "pred_std": pstd}
+            ),
+            flush=True,
+        )
     jax.distributed.shutdown()
 
 
@@ -119,6 +127,43 @@ def run_dp_step(mesh):
     _, _, _, metrics = step(params, state, opt_state, xg, yg, key)
     # fully-replicated scalars: safe to fetch on every process
     return float(metrics["loss"]), float(metrics["r2"])
+
+
+def run_spatial_rollout(mesh):
+    """One chunked call of the explicit-halo SERVING rollout on the
+    (possibly multi-host) mesh: grid sharded over (lat, lon), batch over
+    dp — the config-#5 serving composition launched the way a pod slice
+    is (every process executes the same program; conv-halo ppermutes and
+    the carry cross the process boundary over the global mesh).  Returns
+    (mean, std) of the physical-unit predictions — replicated scalars,
+    safe to fetch on every process; the single-process oracle must match
+    them exactly (f32 CPU is deterministic)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nasa_niswan_tpu.data.dataset import Normalizer
+    from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, convlstm_init
+    from nasa_niswan_tpu.parallel.spatial import make_sharded_rollout_fn
+
+    B, T, H, W = 2, 3, 16, 24
+    rng = np.random.default_rng(1)
+    forc = rng.standard_normal((B, T, 5, H, W)).astype(np.float32)
+    norm = Normalizer(
+        x_mean=np.zeros(5, np.float32), x_std=np.ones(5, np.float32),
+        y_mean=0.1, y_std=1.5,
+    )
+    cfg = ConvLSTMConfig(5, (4, 4), (3, 3))
+    params = convlstm_init(jax.random.PRNGKey(2), cfg)
+
+    rollout = make_sharded_rollout_fn(
+        cfg, norm, mesh, padded_shape=(20, 28), grid_shape=(H, W)
+    )
+    # two chunks with a carried state, like production serving
+    p1, st = rollout(params, forc)
+    p2, _ = rollout(params, forc, st)
+    preds = jnp.stack([p1, p2])
+    return float(jnp.mean(preds)), float(jnp.std(preds))
 
 
 if __name__ == "__main__":

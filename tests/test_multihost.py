@@ -45,8 +45,15 @@ def test_two_process_dp_step_matches_single_process():
     # single-process oracle on the in-process 8-device mesh
     from nasa_niswan_tpu.parallel.mesh import make_mesh
     sys.path.insert(0, f"{REPO}/scripts")
-    from multihost_worker import run_dp_step
+    from multihost_worker import run_dp_step, run_spatial_rollout
 
-    loss, r2 = run_dp_step(make_mesh(dp=2, lat=2, lon=2))
+    mesh = make_mesh(dp=2, lat=2, lon=2)
+    loss, r2 = run_dp_step(mesh)
     assert rank0["loss"] == pytest.approx(loss, rel=1e-6)
     assert rank0["r2"] == pytest.approx(r2, rel=1e-6)
+
+    # the spatially sharded SERVING rollout over the same 2-process mesh
+    # (conv halos + carried state crossing the process boundary)
+    pmean, pstd = run_spatial_rollout(mesh)
+    assert rank0["pred_mean"] == pytest.approx(pmean, rel=1e-6)
+    assert rank0["pred_std"] == pytest.approx(pstd, rel=1e-6)

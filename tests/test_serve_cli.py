@@ -205,3 +205,32 @@ def test_sharded_serve_matches_single_device(tmp_path, canonical_snap,
         [read_pred(str(tmp_path / "q1.nc")), read_pred(str(tmp_path / "q2.nc"))]
     )
     np.testing.assert_array_equal(read_pred(shard2), stitched)
+
+
+def test_serve_guard_messages(tmp_path, canonical_snap):
+    """CLI-grade errors for bad --sharded values; the device-resident
+    upload falls back to host streaming when the allocator refuses."""
+    out = str(tmp_path / "g.nc")
+    with pytest.raises(SystemExit, match="device count"):
+        serve_main(["--run-dir", canonical_snap, "--out", out,
+                    "--sharded", "2", "3"])
+    with pytest.raises(SystemExit, match="tile evenly"):
+        serve_main(["--run-dir", canonical_snap, "--out", out,
+                    "--sharded", "8", "1"])  # padded H=20 % 8 != 0
+
+    import nasa_niswan_tpu.rollout.__main__ as cli
+
+    class Boom(Exception):
+        pass
+
+    import jax as _jax
+    orig = _jax.device_put
+    try:
+        def boom(x):
+            raise Boom("RESOURCE_EXHAUSTED (simulated)")
+        _jax.device_put = boom
+        frames = np.zeros((4, 2, 3, 3), np.float32)
+        got = cli._device_resident(frames, 4.0)
+        assert got is frames  # fell back to the host array
+    finally:
+        _jax.device_put = orig
