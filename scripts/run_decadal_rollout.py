@@ -90,12 +90,16 @@ def main():
     template = convlstm_init(jax.random.PRNGKey(0), cfg)
     params_list = []
     for sp in SPECIES:
-        params, _, _ = load_checkpoint(
-            os.path.join(
-                args.ckpt_root, f"run_{sp}", f"epoch-{args.epochs:03d}"
-            ),
-            template,
+        ckpt = os.path.join(
+            args.ckpt_root, f"run_{sp}", f"epoch-{args.epochs:03d}"
         )
+        if not os.path.isdir(ckpt):
+            raise SystemExit(
+                f"no checkpoint at {ckpt} — train the per-species "
+                f"emulators first:\n  python scripts/run_multitracer_demo"
+                f".py --epochs {args.epochs} --out {args.ckpt_root}"
+            )
+        params, _, _ = load_checkpoint(ckpt, template)
         params_list.append(params)
     stacked = stack_params(params_list)
     if args.sharded:
