@@ -123,15 +123,29 @@ def _run_chunked_episode(run_chunk, carry, frames, chunk_steps: int):
 
 def run_chunked_episode_carry(run_chunk, carry, frames, chunk_steps: int):
     """`_run_chunked_episode` that also returns the final carry (see its
-    tail-padding caveat)."""
+    tail-padding caveat).
+
+    Software-pipelined one chunk deep: chunk k+1 is DISPATCHED before chunk
+    k's predictions are fetched, so the device computes the next chunk
+    while the host drains the previous one (JAX dispatch is async; the
+    carry never leaves the device).  Chaining dispatches this way is what
+    takes closed-loop serving from the 0.50 ms/step single-dispatch wall
+    to 0.311 ms/step sustained (`scripts/profile_closed_loop.py --chain`);
+    the pred fetch itself (~25 MB/chunk) rides PCIe behind the next
+    chunk's compute on a pod host — through the ~35 MB/s dev tunnel it
+    dominates wall either way (measured tied, docs/PERFORMANCE.md)."""
     T = frames.shape[0]
     chunk_steps = min(chunk_steps, T)
     preds = []
+    pending = None  # previous chunk's (device_preds, n_valid)
     for s in range(0, T, chunk_steps):
         x_chunk = frames[s : s + chunk_steps]
         n_valid = x_chunk.shape[0]
         *carry, p = run_chunk(*carry, pad_tail_chunk(x_chunk, chunk_steps))
-        preds.append(np.asarray(p)[:n_valid])
+        if pending is not None:
+            preds.append(np.asarray(pending[0])[: pending[1]])
+        pending = (p, n_valid)
+    preds.append(np.asarray(pending[0])[: pending[1]])
     return np.concatenate(preds), carry
 
 

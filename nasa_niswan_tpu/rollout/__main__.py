@@ -362,11 +362,15 @@ def _serve_open_loop(snap, args, state_in):
 
     frames = _device_resident(frames, args.resident_gb)
     preds = []
+    pending = None  # one-chunk pipeline: dispatch k+1 before fetching k
     for s in range(0, T, chunk):
         x_chunk = frames[s : s + chunk]
         n_valid = x_chunk.shape[0]
         state, p = run(state, pad_tail_chunk(x_chunk, chunk))
-        preds.append(np.asarray(p)[0, :n_valid])
+        if pending is not None:
+            preds.append(np.asarray(pending[0])[0, : pending[1]])
+        pending = (p, n_valid)
+    preds.append(np.asarray(pending[0])[0, : pending[1]])
     return np.concatenate(preds), state, args.skip
 
 

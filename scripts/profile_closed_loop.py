@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--steps", type=int, default=480)
     ap.add_argument("--impl", default="auto")
     ap.add_argument("--trace", default=None)
+    ap.add_argument("--chain", type=int, default=1,
+                    help="chunks chained through the on-device carry per "
+                         "measurement (sync once at the end) — the decadal "
+                         "runner's dispatch pattern; 1 = single-dispatch "
+                         "latency, >1 = sustained serving rate")
     args = ap.parse_args()
 
     import jax
@@ -70,12 +75,16 @@ def main():
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run(params, st, prev0, met)
-        np.asarray(out[1])
+        s, p = st, prev0
+        for _ in range(args.chain):
+            s, p, preds = run(params, s, p, met)
+        np.asarray(p)  # one sync per chain: dispatches queue asynchronously
         best = min(best, time.perf_counter() - t0)
+    n = T * args.chain
     print(
-        f"closed-loop chunk impl={args.impl}: {best*1000/T:.3f} ms/step "
-        f"wall (device-resident) -> {T/48/(best/60):.0f} model-days/min"
+        f"closed-loop impl={args.impl} chain={args.chain}: "
+        f"{best*1000/n:.3f} ms/step wall (device-resident) -> "
+        f"{n/48/(best/60):.0f} model-days/min"
     )
 
     if args.trace:
