@@ -157,3 +157,34 @@ def async_batches(
         except queue_mod.Empty:
             pass
         t.join(timeout=5.0)
+
+
+class ChunkDrain:
+    """Fetch device chunks ONE DISPATCH BEHIND the serving loop.
+
+    The serving/eval chunk loops dispatch a jitted chunk, then drain its
+    predictions to the host; fetching eagerly blocks the dispatch queue so
+    device compute and the D2H drain never overlap.  ``push`` a device
+    array each iteration and the PREVIOUS one is fetched while the chunk
+    just dispatched computes (JAX dispatch is async); ``finish`` drains
+    the last.  Used by run_chunked_episode_carry (evalx/evaluate.py), the
+    open-loop serve loop (rollout/__main__.py), and the long-horizon
+    demo runners.
+    """
+
+    def __init__(self):
+        self._pending = None
+        self._out = []
+
+    def push(self, device_chunk, fetch=np.asarray):
+        if self._pending is not None:
+            dev, f = self._pending
+            self._out.append(f(dev))
+        self._pending = (device_chunk, fetch)
+
+    def finish(self) -> list:
+        if self._pending is not None:
+            dev, f = self._pending
+            self._out.append(f(dev))
+            self._pending = None
+        return self._out

@@ -134,19 +134,17 @@ def run_chunked_episode_carry(run_chunk, carry, frames, chunk_steps: int):
     the pred fetch itself (~25 MB/chunk) rides PCIe behind the next
     chunk's compute on a pod host — through the ~35 MB/s dev tunnel it
     dominates wall either way (measured tied, docs/PERFORMANCE.md)."""
+    from nasa_niswan_tpu.data.pipeline import ChunkDrain
+
     T = frames.shape[0]
     chunk_steps = min(chunk_steps, T)
-    preds = []
-    pending = None  # previous chunk's (device_preds, n_valid)
+    drain = ChunkDrain()
     for s in range(0, T, chunk_steps):
         x_chunk = frames[s : s + chunk_steps]
         n_valid = x_chunk.shape[0]
         *carry, p = run_chunk(*carry, pad_tail_chunk(x_chunk, chunk_steps))
-        if pending is not None:
-            preds.append(np.asarray(pending[0])[: pending[1]])
-        pending = (p, n_valid)
-    preds.append(np.asarray(pending[0])[: pending[1]])
-    return np.concatenate(preds), carry
+        drain.push(p, lambda d, n=n_valid: np.asarray(d)[:n])
+    return np.concatenate(drain.finish()), carry
 
 
 def pad_tail_chunk(x_chunk, chunk: int):

@@ -360,18 +360,16 @@ def _serve_open_loop(snap, args, state_in):
 
     from nasa_niswan_tpu.evalx.evaluate import pad_tail_chunk
 
+    from nasa_niswan_tpu.data.pipeline import ChunkDrain
+
     frames = _device_resident(frames, args.resident_gb)
-    preds = []
-    pending = None  # one-chunk pipeline: dispatch k+1 before fetching k
+    drain = ChunkDrain()  # one-chunk pipeline: dispatch k+1 before fetching k
     for s in range(0, T, chunk):
         x_chunk = frames[s : s + chunk]
         n_valid = x_chunk.shape[0]
         state, p = run(state, pad_tail_chunk(x_chunk, chunk))
-        if pending is not None:
-            preds.append(np.asarray(pending[0])[0, : pending[1]])
-        pending = (p, n_valid)
-    preds.append(np.asarray(pending[0])[0, : pending[1]])
-    return np.concatenate(preds), state, args.skip
+        drain.push(p, lambda d, n=n_valid: np.asarray(d)[0, :n])
+    return np.concatenate(drain.finish()), state, args.skip
 
 
 def _serve_closed_loop(snap, args, state_in, prev_in):

@@ -175,13 +175,15 @@ def main():
             e = emis_dev[:, None, s : s + args.chunk]
             p, state = rollout(stacked, m, e, state)
             ss_res, ss_tot = chunk_r2_terms(p[:, 0], gt_dev[:, s : s + args.chunk])
-            # download only (S, t) scalars per chunk
-            res_terms.append(np.asarray(ss_res))
-            tot_terms.append(np.asarray(ss_tot))
+            # keep the (S, t) terms ON DEVICE: fetching them here would
+            # block the dispatch queue once per chunk (a tunnel RTT each);
+            # deferred to one fetch per year the chunks chain asynchronously
+            res_terms.append(ss_res)
+            tot_terms.append(ss_tot)
             total_steps += m.shape[1]
-        r2_t = 1.0 - np.concatenate(res_terms, axis=1) / np.concatenate(
-            tot_terms, axis=1
-        )  # (S, T)
+        r2_t = 1.0 - np.asarray(
+            jnp.concatenate(res_terms, axis=1)
+        ) / np.asarray(jnp.concatenate(tot_terms, axis=1))  # (S, T)
         r2 = {sp: float(np.nanmean(r2_t[i])) for i, sp in enumerate(SPECIES)}
         # crop the carry to its valid columns so the diagnostic is layout-
         # independent (the pallas2 cell carries zero-margin padded columns)

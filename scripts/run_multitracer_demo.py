@@ -40,6 +40,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
 
     from nasa_niswan_tpu.data.dataset import SequenceDataset
+    from nasa_niswan_tpu.data.pipeline import ChunkDrain
     from nasa_niswan_tpu.data.synthetic import synthetic_e33oma_90d
     from nasa_niswan_tpu.evalx.metrics import r2_temporal
     from nasa_niswan_tpu.models.registry import build_model
@@ -107,7 +108,7 @@ def main():
     n_tgt = gts.shape[1]
 
     state = None
-    preds = []
+    drain = ChunkDrain()  # one-chunk pipeline: dispatch k+1 before fetching k
     t0 = time.time()
     for s in range(0, T_test, args.chunk):
         p, state = rollout(
@@ -116,7 +117,8 @@ def main():
             emis[:, None, s : s + args.chunk],
             state,
         )
-        preds.append(np.asarray(p[:, 0]))
+        drain.push(p[:, 0])
+    preds = drain.finish()
     elapsed = time.time() - t0
     preds = np.concatenate(preds, axis=1)  # (S, T, h, w)
 

@@ -40,6 +40,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
 
     from nasa_niswan_tpu.data.dataset import SequenceDataset
+    from nasa_niswan_tpu.data.pipeline import ChunkDrain
     from nasa_niswan_tpu.data.synthetic import synthetic_e33oma_90d
     from nasa_niswan_tpu.evalx.metrics import r2_temporal
     from nasa_niswan_tpu.models.registry import build_model
@@ -93,11 +94,13 @@ def main():
     preds = []
     n_steps = 0
     t0 = time.time()
+    drain = ChunkDrain()  # one-chunk pipeline: dispatch k+1 before fetching k
     for s in range(n_train, args.steps, args.chunk):
         chunk = forcings[None, s : s + args.chunk]
         p, state = rollout(out["params"], chunk, state)
-        preds.append(np.asarray(p[0]))
+        drain.push(p[0])
         n_steps += chunk.shape[1]
+    preds = drain.finish()
     elapsed = time.time() - t0
     preds = np.concatenate(preds)
     days_min = model_days_per_min(n_steps, elapsed)

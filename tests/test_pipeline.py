@@ -62,3 +62,30 @@ def test_async_batches_early_break_shuts_down():
     it = async_batches(ds, 4, shuffle=False, to_device=False, prefetch=2)
     next(it)
     it.close()  # must not hang on the bounded queue
+
+
+def test_chunk_drain_one_behind_order_and_fetchers():
+    """ChunkDrain fetches exactly one dispatch behind, preserves order, and
+    applies each chunk's own fetcher (the n_valid-capturing lambdas of the
+    serve loops)."""
+    import numpy as np
+
+    from nasa_niswan_tpu.data.pipeline import ChunkDrain
+
+    fetched = []
+
+    def make_fetch(tag, n):
+        def fetch(x):
+            fetched.append(tag)
+            return np.asarray(x)[:n]
+        return fetch
+
+    drain = ChunkDrain()
+    drain.push(np.arange(4), make_fetch("a", 4))
+    assert fetched == []  # nothing fetched until the NEXT push
+    drain.push(np.arange(10, 14), make_fetch("b", 2))
+    assert fetched == ["a"]
+    out = drain.finish()
+    assert fetched == ["a", "b"]
+    np.testing.assert_array_equal(np.concatenate(out), [0, 1, 2, 3, 10, 11])
+    assert drain.finish() == out  # idempotent once drained
