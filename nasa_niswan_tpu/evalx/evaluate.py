@@ -23,7 +23,11 @@ from typing import Dict, Optional
 import numpy as np
 
 from nasa_niswan_tpu.data.dataset import SequenceDataset
-from nasa_niswan_tpu.data.pipeline import batch_iterator, device_prefetch
+from nasa_niswan_tpu.data.pipeline import (
+    ChunkDrain,
+    batch_iterator,
+    device_prefetch,
+)
 from nasa_niswan_tpu.evalx import metrics as M
 from nasa_niswan_tpu.models.registry import ModelBundle
 from nasa_niswan_tpu.train.loop import make_eval_step
@@ -61,7 +65,7 @@ def predict_test_set(
             bundle, norm, src, padded_shape=padded_shape,
             grid_shape=grid_shape, static=static, unnormalize=True,
         )
-        gts, pds = [], []
+        drain = ChunkDrain()  # fetch one batch behind the dispatch
         for s in range(0, src.n, batch_size):
             idx = np.arange(s, min(s + batch_size, src.n))
             n_valid = len(idx)
@@ -70,21 +74,22 @@ def predict_test_set(
                     [idx, np.repeat(idx[-1:], batch_size - n_valid)]
                 )
             _, pred = eval_step(params, state, jnp.asarray(idx, jnp.int32))
-            pds.append(np.asarray(pred)[:n_valid])
+            drain.push(pred, lambda d, n=n_valid: np.asarray(d)[:n])
         gts = np.asarray(src.targets)
-        return {"GTs": gts, "PDs": np.concatenate(pds)}
+        return {"GTs": gts, "PDs": np.concatenate(drain.finish())}
     eval_step = make_eval_step(
         bundle, norm, padded_shape=padded_shape, grid_shape=grid_shape,
         static=static, unnormalize=True,
     )
-    gts, pds = [], []
+    gts = []
+    drain = ChunkDrain()  # fetch one batch behind the dispatch
     for x_raw, y_raw in device_prefetch(
         batch_iterator(dataset, batch_size, shuffle=False, drop_last=False)
     ):
         _, pred = eval_step(params, state, x_raw, y_raw)
-        pds.append(np.asarray(pred))
+        drain.push(pred)
         gts.append(np.asarray(y_raw))
-    return {"GTs": np.concatenate(gts), "PDs": np.concatenate(pds)}
+    return {"GTs": np.concatenate(gts), "PDs": np.concatenate(drain.finish())}
 
 
 def predict_test_rollout(
@@ -134,8 +139,6 @@ def run_chunked_episode_carry(run_chunk, carry, frames, chunk_steps: int):
     the pred fetch itself (~25 MB/chunk) rides PCIe behind the next
     chunk's compute on a pod host — through the ~35 MB/s dev tunnel it
     dominates wall either way (measured tied, docs/PERFORMANCE.md)."""
-    from nasa_niswan_tpu.data.pipeline import ChunkDrain
-
     T = frames.shape[0]
     chunk_steps = min(chunk_steps, T)
     drain = ChunkDrain()
