@@ -175,16 +175,24 @@ class ChunkDrain:
     def __init__(self):
         self._pending = None
         self._out = []
+        self._closed = False
 
     def push(self, device_chunk, fetch=np.asarray):
+        if self._closed:
+            raise RuntimeError("ChunkDrain already finished; make a new one")
         if self._pending is not None:
             dev, f = self._pending
             self._out.append(f(dev))
         self._pending = (device_chunk, fetch)
 
     def finish(self) -> list:
+        """Drain the pending chunk and hand the fetched list to the caller
+        (ownership transferred — the drain keeps no reference and refuses
+        further pushes)."""
         if self._pending is not None:
             dev, f = self._pending
             self._out.append(f(dev))
             self._pending = None
-        return self._out
+        self._closed = True
+        out, self._out = self._out, []
+        return out

@@ -81,14 +81,21 @@ def predict_test_set(
         bundle, norm, padded_shape=padded_shape, grid_shape=grid_shape,
         static=static, unnormalize=True,
     )
-    gts = []
+    gts = []  # captured HOST-side before the H2D upload: no D2H round trip
+
+    def record_targets(batches):
+        for x, y in batches:
+            gts.append(y)
+            yield x, y
+
     drain = ChunkDrain()  # fetch one batch behind the dispatch
     for x_raw, y_raw in device_prefetch(
-        batch_iterator(dataset, batch_size, shuffle=False, drop_last=False)
+        record_targets(
+            batch_iterator(dataset, batch_size, shuffle=False, drop_last=False)
+        )
     ):
         _, pred = eval_step(params, state, x_raw, y_raw)
         drain.push(pred)
-        gts.append(np.asarray(y_raw))
     return {"GTs": np.concatenate(gts), "PDs": np.concatenate(drain.finish())}
 
 
@@ -126,9 +133,14 @@ def _run_chunked_episode(run_chunk, carry, frames, chunk_steps: int):
     return preds
 
 
-def run_chunked_episode_carry(run_chunk, carry, frames, chunk_steps: int):
+def run_chunked_episode_carry(
+    run_chunk, carry, frames, chunk_steps: int, *, clamp_chunk: bool = True
+):
     """`_run_chunked_episode` that also returns the final carry (see its
-    tail-padding caveat).
+    tail-padding caveat).  ``clamp_chunk=False`` keeps an oversized
+    ``chunk_steps`` as the trace length (repeat-padding a short stream up
+    to it) — required when the chunk size is baked into a frozen exported
+    artifact and cannot shrink to the stream.
 
     Software-pipelined one chunk deep: chunk k+1 is DISPATCHED before chunk
     k's predictions are fetched, so the device computes the next chunk
@@ -140,7 +152,8 @@ def run_chunked_episode_carry(run_chunk, carry, frames, chunk_steps: int):
     chunk's compute on a pod host — through the ~35 MB/s dev tunnel it
     dominates wall either way (measured tied, docs/PERFORMANCE.md)."""
     T = frames.shape[0]
-    chunk_steps = min(chunk_steps, T)
+    if clamp_chunk:
+        chunk_steps = min(chunk_steps, T)
     drain = ChunkDrain()
     for s in range(0, T, chunk_steps):
         x_chunk = frames[s : s + chunk_steps]

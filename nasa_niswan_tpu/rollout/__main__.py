@@ -358,18 +358,20 @@ def _serve_open_loop(snap, args, state_in):
             snap.params, x_chunk[None], st
         )[::-1]
 
-    from nasa_niswan_tpu.evalx.evaluate import pad_tail_chunk
-
-    from nasa_niswan_tpu.data.pipeline import ChunkDrain
+    from nasa_niswan_tpu.evalx.evaluate import run_chunked_episode_carry
 
     frames = _device_resident(frames, args.resident_gb)
-    drain = ChunkDrain()  # one-chunk pipeline: dispatch k+1 before fetching k
-    for s in range(0, T, chunk):
-        x_chunk = frames[s : s + chunk]
-        n_valid = x_chunk.shape[0]
-        state, p = run(state, pad_tail_chunk(x_chunk, chunk))
-        drain.push(p, lambda d, n=n_valid: np.asarray(d)[0, :n])
-    return np.concatenate(drain.finish()), state, args.skip
+
+    def run_chunk(st, x_chunk):  # adapt (state, (1,T,h,w)) -> carry protocol
+        st, p = run(st, x_chunk)
+        return st, p[0]
+
+    # clamp_chunk=False: an artifact's chunk is its frozen trace length and
+    # must not shrink to a short stream (the live path pre-clamps above)
+    preds, (state,) = run_chunked_episode_carry(
+        run_chunk, [state], frames, chunk, clamp_chunk=False
+    )
+    return preds, state, args.skip
 
 
 def _serve_closed_loop(snap, args, state_in, prev_in):

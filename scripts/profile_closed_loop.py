@@ -39,6 +39,8 @@ def main():
                          "runner's dispatch pattern; 1 = single-dispatch "
                          "latency, >1 = sustained serving rate")
     args = ap.parse_args()
+    if args.chain < 1:
+        ap.error("--chain must be >= 1")
 
     import jax
     import jax.numpy as jnp

@@ -91,7 +91,6 @@ def main():
     ).astype(np.float32)  # (T, 5, H, W)
     gts = data["bcb_conc"]
     state = None
-    preds = []
     n_steps = 0
     t0 = time.time()
     drain = ChunkDrain()  # one-chunk pipeline: dispatch k+1 before fetching k

@@ -88,4 +88,8 @@ def test_chunk_drain_one_behind_order_and_fetchers():
     out = drain.finish()
     assert fetched == ["a", "b"]
     np.testing.assert_array_equal(np.concatenate(out), [0, 1, 2, 3, 10, 11])
-    assert drain.finish() == out  # idempotent once drained
+    assert drain.finish() == []  # ownership transferred; nothing retained
+    import pytest
+
+    with pytest.raises(RuntimeError, match="finished"):
+        drain.push(np.arange(2))  # closed: no silent cross-episode mixing
