@@ -56,11 +56,13 @@ def main():
     mesh = make_mesh(dp=2, lat=2, lon=2)
     loss, r2 = run_dp_step(mesh)
     pmean, pstd = run_spatial_rollout(mesh)
+    fmean, fstd = run_feedback_rollout(mesh)
     if rank == 0:
         print(
             json.dumps(
                 {"loss": loss, "r2": r2,
-                 "pred_mean": pmean, "pred_std": pstd}
+                 "pred_mean": pmean, "pred_std": pstd,
+                 "fb_mean": fmean, "fb_std": fstd}
             ),
             flush=True,
         )
@@ -162,6 +164,43 @@ def run_spatial_rollout(mesh):
     # two chunks with a carried state, like production serving
     p1, st = rollout(params, forc)
     p2, _ = rollout(params, forc, st)
+    preds = jnp.stack([p1, p2])
+    return float(jnp.mean(preds)), float(jnp.std(preds))
+
+
+def run_feedback_rollout(mesh):
+    """Two carried chunks of the sharded CLOSED-LOOP feedback rollout
+    (config #3's production mode) on the (possibly multi-host) mesh: the
+    per-step feedback frame is rebuilt from an all_gather of tap tiles
+    that crosses the process boundary, on top of the conv-halo ppermutes.
+    Returns (mean, std) of the physical-unit predictions — replicated
+    scalars the single-process oracle must match exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nasa_niswan_tpu.data.dataset import Normalizer
+    from nasa_niswan_tpu.evalx.evaluate import zero_closed_loop_state
+    from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, convlstm_init
+    from nasa_niswan_tpu.parallel.spatial import make_sharded_feedback_rollout
+
+    T, H, W = 3, 16, 24
+    rng = np.random.default_rng(3)
+    met = rng.standard_normal((T, 5, H, W)).astype(np.float32)
+    prev0 = rng.standard_normal((1, H, W)).astype(np.float32)
+    norm = Normalizer(
+        x_mean=np.zeros(5, np.float32), x_std=np.ones(5, np.float32),
+        y_mean=0.1, y_std=1.5,
+    )
+    cfg = ConvLSTMConfig(6, (4, 4), (3, 3))  # 5 met + 1 feedback channel
+    params = convlstm_init(jax.random.PRNGKey(4), cfg)
+
+    run = make_sharded_feedback_rollout(
+        cfg, norm, mesh, padded_shape=(20, 28), grid_shape=(H, W)
+    )
+    st = zero_closed_loop_state(cfg, (20, 28))
+    st, prev, p1 = run(params, st, prev0, met)
+    _, _, p2 = run(params, st, prev, met)  # carry continuation
     preds = jnp.stack([p1, p2])
     return float(jnp.mean(preds)), float(jnp.std(preds))
 

@@ -45,7 +45,11 @@ def test_two_process_dp_step_matches_single_process():
     # single-process oracle on the in-process 8-device mesh
     from nasa_niswan_tpu.parallel.mesh import make_mesh
     sys.path.insert(0, f"{REPO}/scripts")
-    from multihost_worker import run_dp_step, run_spatial_rollout
+    from multihost_worker import (
+        run_dp_step,
+        run_feedback_rollout,
+        run_spatial_rollout,
+    )
 
     mesh = make_mesh(dp=2, lat=2, lon=2)
     loss, r2 = run_dp_step(mesh)
@@ -57,3 +61,9 @@ def test_two_process_dp_step_matches_single_process():
     pmean, pstd = run_spatial_rollout(mesh)
     assert rank0["pred_mean"] == pytest.approx(pmean, rel=1e-6)
     assert rank0["pred_std"] == pytest.approx(pstd, rel=1e-6)
+
+    # the sharded CLOSED-LOOP feedback route (config #3's production
+    # mode): the per-step feedback all_gather crosses the process boundary
+    fmean, fstd = run_feedback_rollout(mesh)
+    assert rank0["fb_mean"] == pytest.approx(fmean, rel=1e-6)
+    assert rank0["fb_std"] == pytest.approx(fstd, rel=1e-6)
