@@ -56,25 +56,52 @@ def _slice_stream(frames: np.ndarray, skip: int, steps: int | None):
     return out
 
 
-def _device_resident(frames, limit_gb: float):
+def _device_resident(frames, limit_gb: float, mesh=None):
     """Upload the sliced forcing stream to the device ONCE when it fits;
     per-chunk slices then move no host data.  Measured at config-#3
     canonical shapes: per-chunk host uploads wall ~6 ms/step through a dev
     link while the compute is 0.5 — the decadal runner's block-resident
     pattern, applied to the CLI (docs/PERFORMANCE.md closed-loop row).
 
+    With a serving ``mesh`` (--sharded) the slab is spread over the
+    (lat, lon) mesh axes instead of concentrated on device 0 — the raw
+    (T, C, h, w) grid shards over its trailing spatial dims, so each chip
+    holds ~1/n of the stream and the in-jit reshard rides ICI.
+
     Falls back to host streaming (the pre-resident behavior) if the device
     allocator refuses the slab — params/activations may leave less free HBM
     than the size check assumes; serving must not fail where streaming
-    would have worked."""
+    would have worked.  Only allocator exhaustion is downgraded; any other
+    failure is a real bug and re-raises."""
     if limit_gb > 0 and frames.nbytes <= limit_gb * 1e9:
         import sys
 
         import jax
 
         try:
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                if (
+                    frames.shape[-2] % mesh.shape["lat"]
+                    or frames.shape[-1] % mesh.shape["lon"]
+                ):
+                    # raw grid doesn't tile the mesh: stream from host and
+                    # let the rollout's own placement shard each chunk
+                    return frames
+                spec = P(*([None] * (frames.ndim - 2)), "lat", "lon")
+                return jax.block_until_ready(
+                    jax.device_put(frames, NamedSharding(mesh, spec))
+                )
             return jax.block_until_ready(jax.device_put(frames))
-        except Exception as e:  # RESOURCE_EXHAUSTED and friends
+        except Exception as e:
+            msg = str(e)
+            if not (
+                "RESOURCE_EXHAUSTED" in msg
+                or "Resource exhausted" in msg
+                or "out of memory" in msg.lower()
+            ):
+                raise
             print(
                 f"serve: device-resident upload of {frames.nbytes/1e9:.2f} "
                 f"GB failed ({type(e).__name__}); streaming chunks from "
@@ -302,6 +329,7 @@ def _serve_open_loop(snap, args, state_in):
     T = frames.shape[0]
     grid_shape = tuple(ds[0][1].shape[-2:])
 
+    mesh = None
     if args.artifact:
         from nasa_niswan_tpu.rollout.export import (
             initial_rollout_state,
@@ -341,9 +369,9 @@ def _serve_open_loop(snap, args, state_in):
                 make_sharded_rollout_fn,
             )
 
+            mesh = _build_mesh(*args.sharded, snap.padded_shape)
             rollout = make_sharded_rollout_fn(
-                snap.bundle.config, ds.normalizer,
-                _build_mesh(*args.sharded, snap.padded_shape),
+                snap.bundle.config, ds.normalizer, mesh,
                 padded_shape=snap.padded_shape, grid_shape=grid_shape,
                 static=snap.static,
             )
@@ -360,7 +388,7 @@ def _serve_open_loop(snap, args, state_in):
 
     from nasa_niswan_tpu.evalx.evaluate import run_chunked_episode_carry
 
-    frames = _device_resident(frames, args.resident_gb)
+    frames = _device_resident(frames, args.resident_gb, mesh)
 
     def run_chunk(st, x_chunk):  # adapt (state, (1,T,h,w)) -> carry protocol
         st, p = run(st, x_chunk)
@@ -411,14 +439,15 @@ def _serve_closed_loop(snap, args, state_in, prev_in):
             "the repeat-padded tail chunk would advance the carry over "
             "padding frames"
         )
+    mesh = None
     if args.sharded:
         from nasa_niswan_tpu.parallel.spatial import (
             make_sharded_feedback_rollout,
         )
 
+        mesh = _build_mesh(*args.sharded, snap.padded_shape)
         run_chunk = make_sharded_feedback_rollout(
-            snap.bundle.config, norm,
-            _build_mesh(*args.sharded, snap.padded_shape),
+            snap.bundle.config, norm, mesh,
             padded_shape=snap.padded_shape, grid_shape=grid_shape,
         )
     else:
@@ -428,7 +457,8 @@ def _serve_closed_loop(snap, args, state_in, prev_in):
         )
     preds, (state, prev_norm) = run_chunked_episode_carry(
         lambda st, prev, x: run_chunk(snap.params, st, prev, x),
-        [state, prev_norm], _device_resident(frames, args.resident_gb),
+        [state, prev_norm],
+        _device_resident(frames, args.resident_gb, mesh),
         chunk,
     )
     return preds, state, prev_norm, args.skip
