@@ -1,0 +1,330 @@
+"""Golden END-TO-END training-trajectory parity vs a torch replica of the
+reference loop.
+
+Forward oracles (tests/test_convlstm.py, tests/test_unet.py) prove the
+models compute the same function; this module proves the *training loops*
+walk the same trajectory: an independent torch replica of the reference's
+optimization semantics — Adam betas=(0.5, 0.999) + MSELoss + L1Loss on the
+crop-to-grid output + per-epoch StepLR (reference train.py:71-120) — is
+initialized with IDENTICAL weights and fed IDENTICAL batch sequences from
+the synthetic fixture, and the per-step losses (and end-of-run parameter
+slices) must match our jitted train step within f32 tolerance across
+multiple epochs of lr decay.
+
+This is the strongest available substitute for the published R^2 = 0.92 vs
+ModelE (reference README.md:40), which cannot be reproduced without the
+private NASA data: any drift in optimizer math, crop offsets, loss
+reduction, normalization, or the lr schedule shows up here within a few
+steps, while forward oracles would stay green.
+
+Measured tolerances (CPU, f32): per-step loss agrees to ~1e-6 relative at
+step 1 and drifts with conv-backward reduction-order differences; 60 steps
+of Adam amplification stay under rtol=2e-4 for the tiny shapes used here.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from nasa_niswan_tpu.core.padding import pad_geo
+from nasa_niswan_tpu.data.dataset import Normalizer, SequenceDataset
+from nasa_niswan_tpu.data.synthetic import synthetic_e33oma_90d
+from nasa_niswan_tpu.models.registry import build_model
+from nasa_niswan_tpu.train.loop import (
+    make_optimizer,
+    make_train_step,
+    set_learning_rate,
+)
+from nasa_niswan_tpu.train.schedule import step_lr
+from test_convlstm import make_pair as make_lstm_pair
+from test_unet import make_pair as make_unet_pair
+
+LR = 1e-3
+BETAS = (0.5, 0.999)
+STEP_SIZE, GAMMA = 1, 0.9  # decay every epoch so schedule drift is loud
+
+
+def torch_preprocess(x_raw, y_raw, normalizer, padded_shape):
+    """The torch replica's host-side mirror of train/loop._device_preprocess:
+    z-score with the same stats, pad_geo to the padded grid, NCHW tensors."""
+    x = (x_raw - normalizer.x_mean.reshape(-1, 1, 1)) / normalizer.x_std.reshape(
+        -1, 1, 1
+    )
+    x = np.asarray(pad_geo(x, padded_shape), np.float32)
+    y = (y_raw - normalizer.y_mean) / normalizer.y_std
+    return torch.from_numpy(x), torch.from_numpy(np.asarray(y, np.float32))
+
+
+def center_crop(t, grid_shape):
+    """The reference's training crop (train.py:99-102): both its LSTM
+    [5:95, 5:149] and UNet [83:173, 56:200] offsets are (padded-grid)//2."""
+    h, w = grid_shape
+    oh = (t.shape[-2] - h) // 2
+    ow = (t.shape[-1] - w) // 2
+    return t[..., oh : oh + h, ow : ow + w]
+
+
+def reference_loss(pred, y):
+    return nn.MSELoss()(pred, y) + nn.L1Loss()(pred, y)
+
+
+def make_batches(dataset, n_epochs, n_steps, batch_size, seed=0):
+    """Deterministic per-epoch shuffled batches of raw fixture samples,
+    shared verbatim by both frameworks."""
+    epochs = []
+    for epoch in range(1, n_epochs + 1):
+        order = np.arange(len(dataset))
+        np.random.default_rng(seed + epoch).shuffle(order)
+        batches = []
+        for s in range(n_steps):
+            idx = order[s * batch_size : (s + 1) * batch_size]
+            items = [dataset[int(i)] for i in idx]
+            xs, ys = zip(*items)
+            batches.append(
+                (np.stack(xs).astype(np.float32), np.stack(ys).astype(np.float32))
+            )
+        epochs.append(batches)
+    return epochs
+
+
+def run_jax_trajectory(bundle, params, state, normalizer, epochs, *,
+                       padded_shape, grid_shape):
+    import jax
+
+    optimizer = make_optimizer(LR, BETAS)
+    opt_state = optimizer.init(params)
+    step = make_train_step(
+        bundle, normalizer, optimizer, padded_shape=padded_shape,
+        grid_shape=grid_shape, donate=False,
+    )
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for e, batches in enumerate(epochs, start=1):
+        opt_state = set_learning_rate(opt_state, step_lr(LR, STEP_SIZE, GAMMA, e - 1))
+        for x_raw, y_raw in batches:
+            params, state, opt_state, metrics = step(
+                params, state, opt_state, x_raw, y_raw, rng
+            )
+            losses.append(float(metrics["loss"]))
+    return np.array(losses), params, state
+
+
+def run_torch_trajectory(model_params, forward, epochs, normalizer, *,
+                         padded_shape, grid_shape):
+    """The reference loop, re-written in torch from train.py:71-120
+    semantics: Adam(betas=(0.5,0.999)), loss = MSE + L1 on the cropped
+    grid, scheduler.step() once per epoch."""
+    opt = torch.optim.Adam(model_params, lr=LR, betas=BETAS)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=STEP_SIZE, gamma=GAMMA)
+    losses = []
+    for batches in epochs:
+        for x_raw, y_raw in batches:
+            x, y = torch_preprocess(x_raw, y_raw, normalizer, padded_shape)
+            pred = center_crop(forward(x)[:, 0], grid_shape)
+            loss = reference_loss(pred, y)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+        sched.step()
+    return np.array(losses)
+
+
+@pytest.fixture(scope="module")
+def fixture_ds():
+    data = synthetic_e33oma_90d(T=160, H=16, W=24, seed=7)
+    return SequenceDataset(data, period="train", sequence_length=4, species="bcb")
+
+
+def test_convlstm_training_trajectory_matches_torch(fixture_ds):
+    """3 epochs x 20 steps = 60 optimizer steps of per-step loss parity,
+    through an epoch-stepped lr schedule, from identical ConvLSTM weights."""
+    ds = fixture_ds
+    cells, head, jparams, _ = make_lstm_pair(in_ch=5, hiddens=(4, 3), ks=(3, 3))
+    bundle = build_model(
+        "LSTM-parity", in_channels=5, hidden_channels=(4, 3), kernel_sizes=(3, 3)
+    )
+    padded, grid = (20, 28), (16, 24)
+    epochs = make_batches(ds, n_epochs=3, n_steps=20, batch_size=2)
+
+    def torch_forward_train(x):  # (B, T, C, H, W) NCHW padded, grads on
+        B, T = x.shape[:2]
+        states = [
+            (
+                torch.zeros(B, c.hidden, x.shape[-2], x.shape[-1]),
+                torch.zeros(B, c.hidden, x.shape[-2], x.shape[-1]),
+            )
+            for c in cells
+        ]
+        for t in range(T):
+            inp = x[:, t]
+            for li, cell in enumerate(cells):
+                h, c = states[li]
+                h, c = cell(inp, h, c)
+                states[li] = (h, c)
+                inp = h
+        return head(states[-1][0])
+
+    # the jax step consumes raw NCHW sequences; the torch replica gets the
+    # identical raw batches through its own preprocess mirror
+    jl, jparams_out, _ = run_jax_trajectory(
+        bundle, jparams, None, ds.normalizer, epochs,
+        padded_shape=padded, grid_shape=grid,
+    )
+    tparams = [p for c in cells for p in c.conv.parameters()] + list(
+        head.parameters()
+    )
+    tl = run_torch_trajectory(
+        tparams, torch_forward_train, epochs, ds.normalizer,
+        padded_shape=padded, grid_shape=grid,
+    )
+
+    assert len(jl) == 60
+    np.testing.assert_allclose(jl, tl, rtol=2e-4, atol=1e-6)
+    # end-of-run parameter slices: the torch fused conv's x-half vs our w_x
+    want_wx = cells[0].conv.weight.detach().numpy()[:, :5].transpose(2, 3, 1, 0)
+    got_wx = np.asarray(jparams_out["cells"][0]["w_x"])
+    np.testing.assert_allclose(got_wx, want_wx, rtol=5e-3, atol=2e-5)
+    want_head = head.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(jparams_out["head"]["w"]), want_head, rtol=5e-3, atol=2e-5
+    )
+
+
+def test_unet6_training_trajectory_matches_torch():
+    """Same protocol for the UNet-6ch feedback config (the reference's other
+    trained family: 5 forcings + the previous-step concentration channel,
+    dataset.py:330), including BatchNorm running-stat threading."""
+    from nasa_niswan_tpu.data.dataset import SingleStepDataset
+
+    ds6 = SingleStepDataset(
+        synthetic_e33oma_90d(T=160, H=16, W=24, seed=7),
+        period="train", species="bcb", in_channels=6,
+    )
+    tm, params, state, _ = make_unet_pair(in_ch=6, out_ch=1, feats=(4, 8, 16, 32))
+    tm.train()
+    bundle = build_model(
+        "UNet-parity", in_channels=6, unet_features=(4, 8, 16, 32)
+    )
+    padded, grid = (32, 32), (16, 24)
+
+    epochs = make_batches(ds6, n_epochs=3, n_steps=20, batch_size=2)
+
+    jl, jparams_out, jstate_out = run_jax_trajectory(
+        bundle, params, state, ds6.normalizer, epochs,
+        padded_shape=padded, grid_shape=grid,
+    )
+    tl = run_torch_trajectory(
+        list(tm.parameters()), tm, epochs, ds6.normalizer,
+        padded_shape=padded, grid_shape=grid,
+    )
+
+    assert len(jl) == 60
+    # Two-tier tolerance, measured: the first steps agree to ~1e-6 relative
+    # (identical optimizer/loss/BN math — a semantic drift would blow the
+    # tight tier immediately), after which f32 conv-backward reduction-order
+    # noise compounds chaotically through BatchNorm + Adam(b1=0.5)
+    # (Lyapunov growth to ~4% relative by step 60, both directions).
+    np.testing.assert_allclose(jl[:6], tl[:6], rtol=3e-4, atol=1e-5)
+    np.testing.assert_allclose(jl[:12], tl[:12], rtol=3e-3, atol=1e-5)
+    np.testing.assert_allclose(jl, tl, rtol=8e-2, atol=1e-4)
+    # parameter + BN running-stat slices after 60 steps: absolute envelope —
+    # individual weights moved ~0.06 under Adam and carry the same chaotic
+    # divergence as the losses, so relative-per-element comparison is not
+    # meaningful; agreeing within 0.02 absolute pins the same trajectory
+    np.testing.assert_allclose(
+        np.asarray(jparams_out["head"]["w"]),
+        tm.head.weight.detach().numpy().transpose(2, 3, 1, 0),
+        rtol=0, atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jstate_out["enc1"]["bn1"]["mean"]),
+        tm.encs[0][1].running_mean.detach().numpy(),
+        rtol=0, atol=2e-2,
+    )
+
+
+def test_multi_epoch_loss_curve_through_fit(fixture_ds, tmp_path):
+    """Looser end-to-end check through the REAL epoch driver (train/loop.fit
+    with its device-resident window gathers, seeded shuffles, StepLR and
+    logger) vs the torch replica reproducing fit's exact batch order."""
+    from nasa_niswan_tpu.train.config import TrainConfig
+
+    ds_train = fixture_ds
+    ds_val = SequenceDataset(
+        synthetic_e33oma_90d(T=160, H=16, W=24, seed=7),
+        period="val", sequence_length=4, species="bcb",
+    )
+    cells, head, jparams, _ = make_lstm_pair(in_ch=5, hiddens=(4, 3), ks=(3, 3))
+    bundle = build_model(
+        "LSTM-fitparity", in_channels=5, hidden_channels=(4, 3), kernel_sizes=(3, 3)
+    )
+    cfg = TrainConfig(
+        model="LSTM-fitparity", species="bcb", in_channels=5,
+        hidden_channels=[4, 3], kernel_size=[3, 3], num_layers=2,
+        sequence_length=4, num_epochs=2, batch_size=4,
+        learning_rate=LR, betas=list(BETAS),
+        scheduler_config=[STEP_SIZE, GAMMA],
+        input_size=[20, 28], snapshot_dir=str(tmp_path / "snap"),
+        checkpoint_every=0, seed=0,
+    )
+    from nasa_niswan_tpu.train.loop import fit
+
+    out = fit(bundle, ds_train, ds_val, cfg, init_params=jparams,
+              init_state=None, verbose=False)
+
+    # torch replica with fit's device-resident batch order:
+    # order = default_rng(uint32(seed) + uint32(epoch)).shuffle(arange(N)),
+    # batches of batch_size, remainder dropped (train/loop.py fit)
+    def torch_forward_train(x):
+        B, T = x.shape[:2]
+        states = [
+            (
+                torch.zeros(B, c.hidden, x.shape[-2], x.shape[-1]),
+                torch.zeros(B, c.hidden, x.shape[-2], x.shape[-1]),
+            )
+            for c in cells
+        ]
+        for t in range(T):
+            inp = x[:, t]
+            for li, cell in enumerate(cells):
+                h, c = states[li]
+                h, c = cell(inp, h, c)
+                states[li] = (h, c)
+                inp = h
+        return head(states[-1][0])
+
+    tparams = [p for c in cells for p in c.conv.parameters()] + list(
+        head.parameters()
+    )
+    opt = torch.optim.Adam(tparams, lr=LR, betas=BETAS)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=STEP_SIZE, gamma=GAMMA)
+    torch_curve = []
+    n = len(ds_train)
+    for epoch in range(1, cfg.num_epochs + 1):
+        order = np.arange(n)
+        np.random.default_rng(np.uint32(0) + np.uint32(epoch)).shuffle(order)
+        ep_losses = []
+        stop = n - (n % cfg.batch_size)
+        for s in range(0, stop, cfg.batch_size):
+            items = [ds_train[int(i)] for i in order[s : s + cfg.batch_size]]
+            xs, ys = zip(*items)
+            x, y = torch_preprocess(
+                np.stack(xs).astype(np.float32),
+                np.stack(ys).astype(np.float32),
+                ds_train.normalizer, (20, 28),
+            )
+            pred = center_crop(torch_forward_train(x)[:, 0], (16, 24))
+            loss = reference_loss(pred, y)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ep_losses.append(float(loss.detach()))
+        sched.step()
+        torch_curve.append(float(np.mean(ep_losses)))
+
+    np.testing.assert_allclose(
+        np.array(out["logger"]["MSELoss"]), np.array(torch_curve),
+        rtol=1e-3, atol=1e-5,
+    )
