@@ -228,7 +228,9 @@ def fit_data_parallel(
 
     if config.batch_size % config.dp_devices:
         raise ValueError("batch_size must be divisible by dp_devices")
-    mesh = make_mesh(dp=config.dp_devices)
+    mesh = make_mesh(
+        dp=config.dp_devices, devices=jax.devices()[: config.dp_devices]
+    )
     return fit(
         bundle, train_dataset, val_dataset, config, static=static,
         init_params=init_params, init_state=init_state, mesh=mesh,

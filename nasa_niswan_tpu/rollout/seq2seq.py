@@ -38,6 +38,35 @@ def inverse_sigmoid_schedule(epoch: int, k: float = 10.0) -> float:
     return k / (k + math.exp(epoch / k))
 
 
+def _r2_from_stats(stats):
+    """Global R^2 from sufficient statistics ``(ss_res, s_y, s_y2, n)`` —
+    the decomposable form (sklearn semantics on the concatenated chunk):
+    unlike a mean of per-shard R^2s, these stats psum exactly across a
+    data-parallel mesh (same construction as parallel/dp.py)."""
+    ss_res, s_y, s_y2, n = stats
+    ss_tot = s_y2 - s_y * s_y / n
+    return 1.0 - ss_res / ss_tot
+
+
+def _gspmd_safe_seq2seq_config(config: ConvLSTMConfig) -> ConvLSTMConfig:
+    """A ``pallas_call`` is opaque to the SPMD partitioner, so the GSPMD
+    seq2seq step pins ``cell_impl='auto'`` to the XLA cell and rejects an
+    explicitly forced Pallas impl (use make_seq2seq_train_step_shardmap for
+    those) — the seq2seq mirror of parallel/dp.gspmd_safe_bundle."""
+    import dataclasses
+
+    impl = config.cell_impl
+    if impl == "auto":
+        return dataclasses.replace(config, cell_impl="xla")
+    if impl.startswith("pallas"):
+        raise ValueError(
+            f"cell_impl={impl!r} cannot run under the GSPMD seq2seq step "
+            "(pallas_call is opaque to the partitioner); pass "
+            "cell_impl='xla' or use make_seq2seq_train_step_shardmap"
+        )
+    return config
+
+
 def make_seq2seq_train_step(
     config: ConvLSTMConfig,
     normalizer: Normalizer,
@@ -45,6 +74,7 @@ def make_seq2seq_train_step(
     *,
     padded_shape: Tuple[int, int],
     grid_shape: Tuple[int, int],
+    mesh=None,
 ):
     """Returns jitted ``step(params, opt_state, x, prev0, y, rng,
     teacher_prob) -> (params, opt_state, metrics)``.
@@ -54,23 +84,101 @@ def make_seq2seq_train_step(
     t-1 of the chunk start; y: raw (B, T, H, W) target series.  The model's
     ``config.in_channels`` is the forcing count + 1 (the feedback channel —
     6 in the reference's surface mode, dataset.py:330).
+
+    With ``mesh`` (a (dp,) jax.sharding.Mesh) the step runs data-parallel
+    under GSPMD: the batch axis of (x, prev0, y) is sharded over "dp",
+    params/opt_state replicated, and XLA inserts the gradient allreduce —
+    the per-step Bernoulli draws and the feedback substitution are
+    batch-local, so no new collectives appear (BASELINE configs #3 x #4).
     """
+    if mesh is not None:
+        config = _gspmd_safe_seq2seq_config(config)
     forward_chunk = _make_forward_chunk(
         config, normalizer, padded_shape=padded_shape,
         grid_shape=grid_shape, auto_mode="train",
     )
 
-    @jax.jit
     def train_step(params, opt_state, x, prev0, y, rng, teacher_prob):
-        (loss, r2v), grads = jax.value_and_grad(
+        (loss, stats), grads = jax.value_and_grad(
             lambda p: forward_chunk(p, x, prev0, y, rng, teacher_prob),
             has_aux=True,
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, "r2": r2v}
+        return params, opt_state, {"loss": loss, "r2": _r2_from_stats(stats)}
 
-    return train_step
+    if mesh is None:
+        return jax.jit(train_step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, rep, batch, batch, batch, rep, rep),
+        out_shardings=(rep, rep, rep),
+    )
+
+
+def make_seq2seq_train_step_shardmap(
+    config: ConvLSTMConfig,
+    normalizer: Normalizer,
+    optimizer,
+    *,
+    padded_shape: Tuple[int, int],
+    grid_shape: Tuple[int, int],
+    mesh,
+):
+    """Manual shard_map DP seq2seq step — the path that lets multi-chip
+    scheduled-sampling training run the fused Pallas kernels (fwd + the
+    whole-chunk fused BPTT backward) on each shard's LOCAL batch, exactly
+    like parallel/dp.make_dp_train_step_shardmap for windowed training.
+
+    Bit-parity with the single-device step: the scheduled-sampling draws
+    are computed GLOBALLY (same rng -> same (T, B_global) Bernoulli matrix
+    as single-device) inside the jit and sharded along the batch column, so
+    every sample sees the same teacher/feedback choice it would see
+    single-device; gradients/loss pmean over "dp" (exact for equal shards),
+    R^2 rebuilt from psum'd sufficient statistics.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    forward_chunk = _make_forward_chunk(
+        config, normalizer, padded_shape=padded_shape,
+        grid_shape=grid_shape, auto_mode="train", external_draws=True,
+    )
+
+    def shard_body(params, opt_state, x, prev0, y, draws, teacher_prob):
+        (loss, stats), grads = jax.value_and_grad(
+            lambda p: forward_chunk(p, x, prev0, y, draws, teacher_prob),
+            has_aux=True,
+        )(params)
+        # check_vma=False manual semantics: autodiff returns shard-LOCAL
+        # grads on every path (plain autodiff AND the fused-BPTT custom
+        # VJP); the global-batch mean gradient is the explicit pmean
+        # (see parallel/dp.py for the full rationale)
+        grads = jax.lax.pmean(grads, "dp")
+        loss = jax.lax.pmean(loss, "dp")
+        stats = jax.lax.psum(stats, "dp")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "r2": _r2_from_stats(stats)}
+
+    rep, batch = P(), P("dp")
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(rep, rep, batch, batch, batch, P(None, "dp"), rep),
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )
+
+    def step(params, opt_state, x, prev0, y, rng, teacher_prob):
+        B, T = x.shape[:2]
+        draws = jax.random.bernoulli(rng, teacher_prob, (T, B))
+        return sharded(params, opt_state, x, prev0, y, draws, teacher_prob)
+
+    return jax.jit(step)
 
 
 def make_seq2seq_eval_step(
@@ -90,10 +198,10 @@ def make_seq2seq_eval_step(
 
     @jax.jit
     def eval_step(params, x, prev0, y):
-        loss, r2v = forward_chunk(
+        loss, stats = forward_chunk(
             params, x, prev0, y, jax.random.PRNGKey(0), 0.0
         )
-        return loss, r2v
+        return loss, _r2_from_stats(stats)
 
     return eval_step
 
@@ -105,13 +213,22 @@ def _make_forward_chunk(
     padded_shape: Tuple[int, int],
     grid_shape: Tuple[int, int],
     auto_mode: str = "train",
+    external_draws: bool = False,
 ):
-    """Shared scan body of the seq2seq train/eval steps.
+    """Shared scan body of the seq2seq train/eval steps, returning
+    ``(loss, (ss_res, s_y, s_y2, n))`` — R^2 sufficient statistics instead
+    of R^2 itself, so data-parallel callers can psum them exactly
+    (``_r2_from_stats`` rebuilds the chunk R^2).
 
     ``auto_mode`` picks which measured cell_impl='auto' crossover applies:
     the train step differentiates through this chunk (fused-BPTT numbers,
     pallas2 through B=8), the eval step does not (forward-only numbers,
-    XLA wins beyond B=4)."""
+    XLA wins beyond B=4).
+
+    ``external_draws=True`` swaps the 5th argument from an rng key to a
+    precomputed (T, B) Bernoulli matrix — the shard_map DP step draws
+    globally outside the sharded body so every sample's teacher/feedback
+    choice matches the single-device step bit-for-bit."""
     if config.in_channels < 2:
         raise ValueError("seq2seq feedback training needs a feedback channel")
 
@@ -119,7 +236,7 @@ def _make_forward_chunk(
     x_std = jnp.asarray(normalizer.x_std).reshape(-1, 1, 1)
     y_mean, y_std = normalizer.y_mean, normalizer.y_std
 
-    def forward_chunk(params, x, prev0, y, rng, teacher_prob):
+    def forward_chunk(params, x, prev0, y, rng_or_draws, teacher_prob):
         B, T = x.shape[:2]
         H, W = padded_shape
         xn = (x - x_mean) / x_std  # (B, T, 5, h, w)
@@ -131,7 +248,10 @@ def _make_forward_chunk(
         xn_pad = jnp.moveaxis(pad_geo(xn, padded_shape), 2, -1)  # (B,T,H,W,5)
         xs = jnp.moveaxis(xn_pad, 1, 0)  # (T, B, H, W, 5)
         ys = jnp.moveaxis(yn, 1, 0)  # (T, B, h, w)
-        draws = jax.random.bernoulli(rng, teacher_prob, (T, B))
+        if external_draws:
+            draws = rng_or_draws  # (T, B) bool, drawn by the caller
+        else:
+            draws = jax.random.bernoulli(rng_or_draws, teacher_prob, (T, B))
 
         # the pallas2+remat resolution (mirrors convlstm_apply's auto rule):
         # the fused cells + whole-chunk BPTT store one carry copy per step
@@ -176,10 +296,7 @@ def _make_forward_chunk(
             err = ys - preds
             # identical to the per-step mean-of-means below (equal-size steps)
             loss = jnp.mean(err**2) + jnp.mean(jnp.abs(err))
-            flat_y, flat_p = ys.reshape(-1), preds.reshape(-1)
-            ss_res = jnp.sum((flat_y - flat_p) ** 2)
-            ss_tot = jnp.sum((flat_y - jnp.mean(flat_y)) ** 2)
-            return loss, 1.0 - ss_res / ss_tot
+            return loss, _chunk_stats(ys, preds)
 
         state = [
             (
@@ -209,14 +326,22 @@ def _make_forward_chunk(
             step, (state, prev0n), (xs, ys, draws)
         )
         loss = jnp.mean(losses)
-        # chunk-level R^2 in normalized space
-        flat_y = ys.reshape(-1)
-        flat_p = preds.reshape(-1)
-        ss_res = jnp.sum((flat_y - flat_p) ** 2)
-        ss_tot = jnp.sum((flat_y - jnp.mean(flat_y)) ** 2)
-        return loss, 1.0 - ss_res / ss_tot
+        return loss, _chunk_stats(ys, preds)
 
     return forward_chunk
+
+
+def _chunk_stats(ys, preds):
+    """Chunk-level R^2 sufficient statistics in normalized space:
+    ``_r2_from_stats`` of these equals 1 - ss_res/ss_tot on the flats."""
+    flat_y = ys.reshape(-1)
+    flat_p = preds.reshape(-1)
+    return (
+        jnp.sum((flat_y - flat_p) ** 2),
+        jnp.sum(flat_y),
+        jnp.sum(flat_y * flat_y),
+        jnp.float32(flat_y.size),
+    )
 
 
 def fit_seq2seq(
@@ -237,6 +362,7 @@ def fit_seq2seq(
     verbose: bool = True,
     snapshot_dir: Optional[str] = None,
     checkpoint_every: int = 0,
+    dp_devices: int = 1,
 ):
     """Scheduled-sampling fine-tuning driver over a Seq2SeqDataset.
 
@@ -244,16 +370,39 @@ def fit_seq2seq(
     (teacher_prob = 0) chunks over it — validation under the deployment
     condition, not the teacher-forced one.  ``snapshot_dir`` +
     ``checkpoint_every`` mirror the windowed trainer's epoch-NNN layout.
+
+    ``dp_devices > 1`` trains data-parallel over a (dp,) mesh through the
+    manual shard_map step (fused Pallas kernels per shard on TPU; globally
+    drawn scheduled-sampling masks keep it bit-compatible with the
+    single-device trajectory — tests/test_parallel.py pins this).
     """
     from nasa_niswan_tpu.train.loop import make_optimizer
 
     normalizer = normalizer or dataset.normalizer
     optimizer = make_optimizer(learning_rate, betas)
     opt_state = optimizer.init(params)
-    step = make_seq2seq_train_step(
-        config, normalizer, optimizer, padded_shape=padded_shape,
-        grid_shape=grid_shape,
-    )
+    batch_sharding = None
+    if dp_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nasa_niswan_tpu.parallel.mesh import make_mesh
+
+        if batch_size % dp_devices:
+            raise ValueError(
+                f"batch_size ({batch_size}) must be divisible by "
+                f"dp_devices ({dp_devices})"
+            )
+        mesh = make_mesh(dp=dp_devices, devices=jax.devices()[:dp_devices])
+        batch_sharding = NamedSharding(mesh, P("dp"))
+        step = make_seq2seq_train_step_shardmap(
+            config, normalizer, optimizer, padded_shape=padded_shape,
+            grid_shape=grid_shape, mesh=mesh,
+        )
+    else:
+        step = make_seq2seq_train_step(
+            config, normalizer, optimizer, padded_shape=padded_shape,
+            grid_shape=grid_shape,
+        )
     eval_step = None
     if val_dataset is not None:
         eval_step = make_seq2seq_eval_step(
@@ -267,7 +416,8 @@ def fit_seq2seq(
         from nasa_niswan_tpu.data.pipeline import async_batches
 
         for x_b, p0_b, y_b in async_batches(
-            dataset, batch_size, shuffle=True, seed=seed, epoch=epoch
+            dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
+            sharding=batch_sharding,
         ):
             rng, srng = jax.random.split(rng)
             params, opt_state, m = step(

@@ -112,6 +112,7 @@ def run_seq2seq(config: TrainConfig, data):
         seed=config.seed,
         snapshot_dir=config.snapshot_dir,
         checkpoint_every=config.checkpoint_every,
+        dp_devices=config.dp_devices,
     )
     # logger.npy parity: loss / train R2 / val R2 (train.py:138-142)
     os.makedirs(config.snapshot_dir, exist_ok=True)
