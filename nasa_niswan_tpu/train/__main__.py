@@ -152,7 +152,32 @@ def main(config: TrainConfig):
     init_params = init_state = init_opt_state = None
     start_epoch = 1
     restore_dir = None
-    if config.auto_resume:
+    if config.auto_resume and config.checkpoint_backend == "orbax":
+        # preemption recovery through the async orbax backend: orbax commits
+        # atomically (tmp + rename), so a SIGKILL mid-save is never visible
+        from nasa_niswan_tpu.train.checkpoint_orbax import AsyncCheckpointer
+
+        rng = jax.random.PRNGKey(config.seed)
+        tmpl_params, tmpl_state = bundle.init(rng)
+        tmpl_opt = make_optimizer(
+            config.learning_rate, tuple(config.betas)
+        ).init(tmpl_params)
+        ck = AsyncCheckpointer(os.path.join(config.snapshot_dir, "orbax"))
+        try:
+            out = ck.restore_latest(
+                tmpl_params, tmpl_opt, state_template=tmpl_state
+            )
+        finally:
+            ck.close()
+        if out is not None:
+            if tmpl_state is None:  # stateless family: 3-tuple restore
+                init_params, init_opt_state, meta = out
+            else:
+                init_params, init_opt_state, init_state, meta = out
+            start_epoch = int(meta["epoch"]) + 1
+            print("Number of Epochs:", meta.get("epoch"))
+            print("Learning Rate:", meta.get("learning_rate"))
+    elif config.auto_resume:
         # preemption recovery: restart from the newest epoch-NNN checkpoint
         # in the snapshot dir, if any (SURVEY.md §5 failure detection)
         from nasa_niswan_tpu.train.checkpoint import latest_epoch_dir

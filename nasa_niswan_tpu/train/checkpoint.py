@@ -51,7 +51,14 @@ def save_checkpoint(
     arrays = {f"p{i}": np.asarray(x) for i, x in enumerate(p_leaves)}
     arrays.update({f"o{i}": np.asarray(x) for i, x in enumerate(o_leaves)})
     arrays.update({f"s{i}": np.asarray(x) for i, x in enumerate(s_leaves)})
-    np.savez(os.path.join(directory, CKPT_FILE), **arrays)
+    # Preemption-safe commit order: write-then-rename both files, npz first
+    # and meta last — a SIGKILL mid-save leaves either no visible files or a
+    # complete pair, never a torn checkpoint, and latest_epoch_dir treats
+    # META_FILE as the commit marker.
+    ckpt_tmp = os.path.join(directory, CKPT_FILE + ".tmp")
+    with open(ckpt_tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(ckpt_tmp, os.path.join(directory, CKPT_FILE))
     meta = {
         "n_params": len(p_leaves),
         "n_opt": len(o_leaves),
@@ -62,8 +69,10 @@ def save_checkpoint(
         "opt_treedef": o_def,
         "state_treedef": s_def,
     }
-    with open(os.path.join(directory, META_FILE), "w") as f:
+    meta_tmp = os.path.join(directory, META_FILE + ".tmp")
+    with open(meta_tmp, "w") as f:
         json.dump(meta, f, indent=2)
+    os.replace(meta_tmp, os.path.join(directory, META_FILE))
     return directory
 
 
@@ -114,12 +123,16 @@ def load_checkpoint(
 
 
 def latest_epoch_dir(snapshot_dir: str) -> Optional[str]:
-    """Most recent ``epoch-NNN`` directory (restart-from-latest for
-    preemption recovery; the reference has no auto-resume)."""
+    """Most recent COMMITTED ``epoch-NNN`` directory (restart-from-latest
+    for preemption recovery; the reference has no auto-resume).  A directory
+    is committed once META_FILE exists — save_checkpoint renames it into
+    place last, so a kill mid-save never surfaces a torn checkpoint here."""
     if not os.path.isdir(snapshot_dir):
         return None
     dirs = sorted(
         d for d in os.listdir(snapshot_dir)
-        if d.startswith("epoch-") and os.path.isdir(os.path.join(snapshot_dir, d))
+        if d.startswith("epoch-")
+        and os.path.isfile(os.path.join(snapshot_dir, d, META_FILE))
+        and os.path.isfile(os.path.join(snapshot_dir, d, CKPT_FILE))
     )
     return os.path.join(snapshot_dir, dirs[-1]) if dirs else None

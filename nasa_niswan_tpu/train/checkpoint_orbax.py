@@ -80,14 +80,31 @@ class AsyncCheckpointer:
         state_template: Any = None,
     ):
         """Returns (params, opt_state, meta), or (params, opt_state,
-        model_state, meta) when ``state_template`` is given.  Restores
-        as-saved (single-host topology), so checkpoints written with or
-        without ``model_state`` both load; templates serve only as the
-        fallback for pieces the checkpoint lacks."""
+        model_state, meta) when ``state_template`` is given.
+
+        With BOTH ``params_template`` and ``opt_state_template``, restores
+        INTO the templates (ocp StandardRestore), so structured containers
+        — the optax InjectHyperparamsState/ScaleByAdamState namedtuples —
+        come back as their original types, resumable directly into the
+        train step.  This template path requires the checkpoint to have
+        been saved with the same fields present (the trainer always saves
+        opt_state).  Otherwise restores as-saved (nested dicts; templates
+        serve only as the fallback for pieces the checkpoint lacks)."""
         step = self._mgr.latest_step()
         if step is None:
             return None
-        out = self._mgr.restore(step)
+        if params_template is not None and opt_state_template is not None:
+            tmpl = {
+                "params": params_template,
+                "opt_state": opt_state_template,
+                "model_state": (
+                    state_template if state_template is not None else {}
+                ),
+                "meta": {"epoch": 0, "learning_rate": -1.0},
+            }
+            out = self._mgr.restore(step, args=ocp.args.StandardRestore(tmpl))
+        else:
+            out = self._mgr.restore(step)
         meta = dict(out["meta"])
         if meta.get("learning_rate", -1.0) < 0:
             meta["learning_rate"] = None

@@ -51,6 +51,9 @@ class TrainConfig:
     synthetic_grid: Tuple[int, int] = (90, 144)  # fixture (lat, lon) size
     dp_devices: int = 1  # data-parallel mesh size (parallel/dp.py)
     checkpoint_every: int = 10  # reference: every 10 epochs (train.py:126)
+    checkpoint_backend: str = "npz"  # "npz" (reference epoch-NNN layout) |
+    # "orbax" (async CheckpointManager under <snapshot_dir>/orbax — saves
+    # overlap training; preemption recovery via --auto-resume)
     levels: int = 1  # vertical levels (20 for the 3-D fusion config #2)
     auto_resume: bool = False  # restart-from-latest (preemption recovery)
     mode: str = "windowed"  # "windowed" | "seq2seq" (scheduled sampling, config #3)
@@ -66,6 +69,11 @@ class TrainConfig:
             )
         if self.mode not in ("windowed", "seq2seq"):
             raise ValueError(f"mode must be windowed|seq2seq, got {self.mode!r}")
+        if self.checkpoint_backend not in ("npz", "orbax"):
+            raise ValueError(
+                "checkpoint_backend must be npz|orbax, "
+                f"got {self.checkpoint_backend!r}"
+            )
         # Canonical channel counts (documented in bench.py): the 3-D fusion
         # stack is C = 3*levels + 2 (u/v/omega per level + prec + emission,
         # data/fusion.py); seq2seq adds the feedback channel on top.  A
@@ -148,6 +156,9 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--synthetic-grid", nargs=2, type=int, default=(90, 144))
     p.add_argument("--dp-devices", type=int, default=d["dp_devices"].default)
     p.add_argument("--checkpoint-every", type=int, default=d["checkpoint_every"].default)
+    p.add_argument("--checkpoint-backend", type=str,
+                   default=d["checkpoint_backend"].default,
+                   choices=("npz", "orbax"))
     p.add_argument("--levels", type=int, default=d["levels"].default)
     p.add_argument("--auto-resume", action="store_true")
     p.add_argument("--mode", type=str, default=d["mode"].default,

@@ -421,6 +421,16 @@ def fit(
     logger = {"MSELoss": [], "r2_score": [], "r2_score_val": []}
     step_size, gamma = config.scheduler_config
 
+    # optional async orbax checkpoint backend (preemption coverage without
+    # stalling the step loop); npz keeps the reference epoch-NNN layout
+    orbax_ckpt = None
+    if getattr(config, "checkpoint_backend", "npz") == "orbax":
+        from nasa_niswan_tpu.train.checkpoint_orbax import AsyncCheckpointer
+
+        orbax_ckpt = AsyncCheckpointer(
+            os.path.join(config.snapshot_dir, "orbax"), max_to_keep=3
+        )
+
     for epoch in range(start_epoch, config.num_epochs + 1):
         opt_state = set_learning_rate(
             opt_state, step_lr(config.learning_rate, step_size, gamma, epoch - 1)
@@ -497,13 +507,24 @@ def fit(
 
         if config.checkpoint_every and epoch % config.checkpoint_every == 0:
             lr_now = step_lr(config.learning_rate, step_size, gamma, epoch - 1)
-            ckpt_dir = os.path.join(config.snapshot_dir, f"epoch-{epoch:03d}")
-            save_checkpoint(
-                ckpt_dir, params, opt_state, learning_rate=lr_now,
-                epoch=epoch, model_state=state,
-            )
+            if orbax_ckpt is not None:
+                orbax_ckpt.save(
+                    epoch, params, opt_state, learning_rate=lr_now,
+                    model_state=state,
+                )
+            else:
+                ckpt_dir = os.path.join(
+                    config.snapshot_dir, f"epoch-{epoch:03d}"
+                )
+                save_checkpoint(
+                    ckpt_dir, params, opt_state, learning_rate=lr_now,
+                    epoch=epoch, model_state=state,
+                )
             if verbose:
                 print("Learning Rate:", [lr_now])
+
+    if orbax_ckpt is not None:
+        orbax_ckpt.close()  # drain in-flight async saves before returning
 
     # reference logger.npy: three consecutive np.save's in one file
     # (train.py:138-142)
