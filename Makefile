@@ -1,6 +1,14 @@
 # Convenience targets for nasa_niswan_tpu development.
 
-.PHONY: test test-fast bench train-canonical eval lint
+.PHONY: test test-fast bench train-canonical eval lint headlines headlines-check
+
+# Re-render the headline tables in README/RESULTS/PERFORMANCE from
+# docs/headlines.json (the single source of truth for headline numbers).
+headlines:
+	python scripts/gen_headlines.py --write
+
+headlines-check:
+	python scripts/gen_headlines.py --check
 
 test:
 	python -m pytest tests/ -q
