@@ -203,9 +203,7 @@ def make_closed_loop_chunk(config, normalizer, *, padded_shape, grid_shape):
     structural guarantees (no reliance on the compiler eliding the churn)
     and its symmetry with the sharded feedback body
     (parallel/spatial.make_sharded_feedback_rollout).  Every cell_impl is
-    routed (``resolve_auto_impl`` at the traced B=1); the one serving
-    opt-in NOT routed is ``fuse_tail`` (measured throughput-neutral) —
-    a warning says so when the config requests it."""
+    routed (``resolve_auto_impl`` at the traced B=1)."""
     import jax
     import jax.numpy as jnp
 
@@ -225,15 +223,6 @@ def make_closed_loop_chunk(config, normalizer, *, padded_shape, grid_shape):
     impl = config.cell_impl
     if impl == "auto":
         impl = resolve_auto_impl(1, mode="forward")
-    if config.fuse_tail:
-        import warnings
-
-        warnings.warn(
-            "fuse_tail is not routed in the closed-loop scan (the tail "
-            "kernel measured throughput-neutral, docs/PERFORMANCE.md); "
-            "running per-layer cells",
-            stacklevel=2,
-        )
     pallas2 = impl == "pallas2"
     if pallas2:
         from nasa_niswan_tpu.ops.convlstm_pallas2 import (
@@ -246,7 +235,7 @@ def make_closed_loop_chunk(config, normalizer, *, padded_shape, grid_shape):
         o2 = col_margin(config.kernel_sizes)
         wp = padded_cols(W, o2)
         cell_step = lambda cell, xt, h, c, k: cell_step_pallas2(  # noqa: E731
-            cell, xt, h, c, k, dt, o2, W, split=config.split_xh
+            cell, xt, h, c, k, dt, o2, W
         )
     elif impl == "pallas":  # v1 shifted-window kernel, standard layout
         from nasa_niswan_tpu.ops.convlstm_pallas import cell_step_pallas

@@ -90,14 +90,9 @@ class ConvLSTMConfig:
     bptt_bwd: str = "fused"  # pallas2+remat BPTT backward: "fused" (Pallas
     # backward kernels, no forward replay — ops/convgrad_pallas.py) |
     # "xla" (emit-gates replay + XLA conv grads, the round-2 strategy)
-    split_xh: bool = False  # pallas2 only: pass x and h to the kernel as
-    # separate operands and assemble the [x; h] slab in VMEM instead of a
-    # per-step HBM concat+pad (identical matmul shapes; A/B via
-    # scripts/bench_cell.py --impls pallas2s:scan)
-    fuse_tail: bool = False  # pallas2 serving only: run the stack's last
-    # TWO cells in ONE pallas_call (halo recompute at tile edges) — the
-    # small-channel tail is launch/DMA-bound per the committed deep-tap
-    # trace.  Ignored on the BPTT training route (per-layer gates needed).
+    # Retired knobs (round 4): split_xh, fuse_tail, and the batch-block
+    # fold all measured neutral-to-negative on hardware and were removed —
+    # see docs/PERFORMANCE.md "Retired variants" for the measurements.
 
     def __post_init__(self):
         if len(self.hidden_channels) != len(self.kernel_sizes):
@@ -223,15 +218,14 @@ def convlstm_apply(
         # will take grads (the BPTT crossover differs from the forward's).
         # The train-mode B<=8 crossover is earned by the whole-scan fused
         # BPTT — when that route can't engage (hoisted input conv, taps,
-        # no remat, fuse_tail), differentiating pallas2 means per-cell
-        # custom VJPs: measured 3.7x slower than XLA AND residual-stacking
-        # (OOM at canonical B=8), so auto resolves to xla there.
+        # no remat), differentiating pallas2 means per-cell custom VJPs:
+        # measured 3.7x slower than XLA AND residual-stacking (OOM at
+        # canonical B=8), so auto resolves to xla there.
         bptt_route_ok = (
             config.remat
             and not return_per_step
             and tap_fn is None
             and not precompute_input_conv
-            and not config.fuse_tail
         )
         if auto_mode == "train" and not bptt_route_ok:
             cell_impl = "xla"
@@ -263,7 +257,6 @@ def convlstm_apply(
 
         cell_step = lambda cell, xt, h, c, k, dt, pre=False: cell_step_pallas2(
             cell, xt, h, c, k, dt, o2, w_valid, x_already_conved=pre,
-            split=config.split_xh,
         )
     elif cell_impl == "pallas":
         from nasa_niswan_tpu.ops.convlstm_pallas import cell_step_pallas
@@ -309,12 +302,6 @@ def convlstm_apply(
         and not return_per_step
         and tap_fn is None
         and not precompute_input_conv
-        # fuse_tail is a serving-path flag: a tap-free forward-only apply
-        # (evalx run_chunk, bundle.apply(training=False)) must reach the
-        # tail-fused scan below even under a remat config.  Differentiating
-        # a fuse_tail apply falls back to per-cell VJPs — documented slow;
-        # auto-mode training never picks it (see the resolution above).
-        and not config.fuse_tail
     ):
         # Training path: ``jax.checkpoint`` cannot rematerialize through the
         # cell's custom VJP, so the per-cell residuals would stack across
@@ -336,7 +323,6 @@ def convlstm_apply(
             config.compute_dtype,
             config.scan_unroll,
             config.bptt_bwd,
-            config.split_xh,
         )
         return _finish(
             final_state, None, params, config, compute_dtype,
@@ -344,24 +330,10 @@ def convlstm_apply(
             return_per_step, return_state,
         )
 
-    # tail fusion: the last two cells in one kernel (serving-path scan
-    # only — the BPTT route above keeps per-layer kernels for the gates)
-    tail_fused = (
-        pallas2
-        and config.fuse_tail
-        and n_layers >= 2
-        # the hoisted layer-0 feeds precomputed GATES, not an h tensor —
-        # it cannot be the tail's first cell
-        and not (precompute_input_conv and n_layers == 2)
-    )
-    if tail_fused:
-        from nasa_niswan_tpu.ops.convlstm_tail import tail_step_pallas2
-
     def step(carry, x_t):
         new_carry = []
         inp = x_t[0] if len(x_t) == 1 else jnp.concatenate(x_t, axis=-1)
-        n_loop = n_layers - 2 if tail_fused else n_layers
-        for li in range(n_loop):
+        for li in range(n_layers):
             h, c = carry[li]
             h, c = cell_step(
                 params["cells"][li],
@@ -374,16 +346,6 @@ def convlstm_apply(
             )
             new_carry.append((h, c))
             inp = h
-        if tail_fused:
-            (h2, c2), (h3, c3) = carry[-2], carry[-1]
-            h2, c2, h3, c3 = tail_step_pallas2(
-                params["cells"][-2], params["cells"][-1],
-                inp, h2, c2, h3, c3,
-                config.kernel_sizes[-2], config.kernel_sizes[-1],
-                compute_dtype, o2, w_valid,
-            )
-            new_carry.extend([(h2, c2), (h3, c3)])
-            inp = h3
         if not return_per_step:
             tap = None
             return new_carry, tap

@@ -70,8 +70,6 @@ def build_model(
     pix2pix_features: int = 64,
     remat: bool = True,
     bptt_bwd: str = "fused",
-    split_xh: bool = False,
-    fuse_tail: bool = False,
 ) -> ModelBundle:
     """remat defaults True: training the canonical config (bs 8, T=48,
     100x154) OOMs a 16 GB chip without per-step rematerialization, and the
@@ -81,8 +79,7 @@ def build_model(
         kernel_sizes=kernel_sizes, compute_dtype=compute_dtype,
         cell_impl=cell_impl, precompute_input_conv=precompute_input_conv,
         unet_features=unet_features, pix2pix_features=pix2pix_features,
-        remat=remat, bptt_bwd=bptt_bwd, split_xh=split_xh,
-        fuse_tail=fuse_tail,
+        remat=remat, bptt_bwd=bptt_bwd,
     )
 
     def _rebuild(**overrides):
@@ -99,8 +96,6 @@ def build_model(
             cell_impl=cell_impl,
             remat=remat,
             bptt_bwd=bptt_bwd,
-            split_xh=split_xh,
-            fuse_tail=fuse_tail,
         )
 
         def init(rng):

@@ -51,20 +51,18 @@ from nasa_niswan_tpu.ops.convlstm_pallas2 import (
     _margin_mask,
     _pick_row_tile,
     _round_up,
-    bb_compiler_params,
-    get_batch_block,
 )
 
 
 def _conv_same_kernel(prev_ref, cur_ref, next_ref, w_ref, out_ref, *,
-                      k, th, wp, o, w_valid, bb):
+                      k, th, wp, o, w_valid):
     ti = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     p = k // 2
     cout = out_ref.shape[-1]
-    lhs = _fold_lhs(prev_ref, cur_ref, next_ref, k, th, wp, p, ti, n_tiles, bb)
-    acc = _deep_tap_conv(lhs, w_ref, k, th * bb, wp, cout)
-    out = acc.reshape(bb, th, wp, cout)
+    lhs = _fold_lhs(prev_ref, cur_ref, next_ref, k, th, wp, p, ti, n_tiles)
+    acc = _deep_tap_conv(lhs, w_ref, k, th, wp, cout)
+    out = acc.reshape(1, th, wp, cout)
     mask = _margin_mask(th, wp, cout, o, w_valid)[None]
     out_ref[:] = jnp.where(mask, out, 0.0)
 
@@ -98,20 +96,18 @@ def conv_same_v2(x, w2, k: int, o: int, w_valid: int, *,
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_p - Cin)))
         w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, cin_p - Cin), (0, 0)))
 
-    bb = get_batch_block() if B % get_batch_block() == 0 else 1
-
     def clamp(i):
         return jnp.clip(i, 0, n_tiles - 1)
 
     in_block = lambda index_map: pl.BlockSpec(
-        (bb, th, wp, cin_p), index_map, memory_space=pltpu.VMEM
+        (1, th, wp, cin_p), index_map, memory_space=pltpu.VMEM
     )
     vma = frozenset(getattr(jax.typeof(x), "vma", ()) or ())
     out = pl.pallas_call(
         functools.partial(
-            _conv_same_kernel, k=k, th=th, wp=wp, o=o, w_valid=w_valid, bb=bb
+            _conv_same_kernel, k=k, th=th, wp=wp, o=o, w_valid=w_valid
         ),
-        grid=(B // bb, n_tiles),
+        grid=(B, n_tiles),
         in_specs=[
             in_block(lambda bi, ti: (bi, clamp(ti - 1), 0, 0)),
             in_block(lambda bi, ti: (bi, ti, 0, 0)),
@@ -119,32 +115,31 @@ def conv_same_v2(x, w2, k: int, o: int, w_valid: int, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (bb, th, wp, Cout), lambda bi, ti: (bi, ti, 0, 0),
+            (1, th, wp, Cout), lambda bi, ti: (bi, ti, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, wp, Cout), jnp.float32, vma=vma),
         interpret=interpret,
-        **bb_compiler_params(bb),
     )(x, x, x, w2)
     return out
 
 
 def _cell_bwd_kernel(prev_ref, cur_ref, next_ref, c_ref, dh_ref, dc_ref,
                      w_ref, b_ref, dg_ref, dcp_ref, dw_ref, db_ref, *,
-                     k, th, wp, hidden, o, w_valid, bb):
+                     k, th, wp, hidden, o, w_valid):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     p = k // 2
-    rows = bb * th * wp
+    rows = th * wp
     first = jnp.logical_and(bi == 0, ti == 0)
 
     lhs_cat = _fold_lhs(
-        prev_ref, cur_ref, next_ref, k, th, wp, p, ti, n_tiles, bb
+        prev_ref, cur_ref, next_ref, k, th, wp, p, ti, n_tiles
     )
 
     # --- gates recompute (shared lhs_cat with the dw taps below)
-    acc = _deep_tap_conv(lhs_cat, w_ref, k, th * bb, wp, 4 * hidden)
+    acc = _deep_tap_conv(lhs_cat, w_ref, k, th, wp, 4 * hidden)
     gates = acc + b_ref[0].astype(jnp.float32)  # (rows, 4h) f32
 
     # --- elementwise backward (margin-masked cotangents => dgates and
@@ -156,8 +151,6 @@ def _cell_bwd_kernel(prev_ref, cur_ref, next_ref, c_ref, dh_ref, dc_ref,
     c32 = c_ref[:].reshape(rows, hidden)
     tc = jnp.tanh(c32 * f + i * g)
     mask = _margin_mask(th, wp, 1, o, w_valid).reshape(th * wp, 1)
-    if bb > 1:
-        mask = jnp.concatenate([mask] * bb, axis=0)
     dh = dh_ref[:].reshape(rows, hidden) * mask
     dc = dc_ref[:].reshape(rows, hidden) * mask
     dct = dc + dh * og * (1.0 - tc * tc)
@@ -166,8 +159,8 @@ def _cell_bwd_kernel(prev_ref, cur_ref, next_ref, c_ref, dh_ref, dc_ref,
     d_g = dct * i * (1.0 - g * g)
     d_o = dh * tc * og * (1.0 - og)
     dgates32 = jnp.concatenate([d_i, d_f, d_g, d_o], axis=-1)
-    dg_ref[:] = dgates32.reshape(bb, th, wp, 4 * hidden).astype(dg_ref.dtype)
-    dcp_ref[:] = (dct * f).reshape(bb, th, wp, hidden)
+    dg_ref[:] = dgates32.reshape(1, th, wp, 4 * hidden).astype(dg_ref.dtype)
+    dcp_ref[:] = (dct * f).reshape(1, th, wp, hidden)
 
     # --- grid-wide accumulators
     @pl.when(first)
@@ -180,9 +173,8 @@ def _cell_bwd_kernel(prev_ref, cur_ref, next_ref, c_ref, dh_ref, dc_ref,
     for dx in range(k):
         # dw[:, dx] = lhs_cat^T @ roll(dgates, dx - p): roll(x, s)[j] =
         # x[j - s], so the rolled operand aligns slab row i+dx-p with
-        # dgates row i.  Wraparound rows (incl. across batch-slab
-        # boundaries when bb > 1) multiply lhs_cat's zero margin rows
-        # (longitude column < p <= o or >= wp - p), contributing 0.
+        # dgates row i.  Wraparound rows multiply lhs_cat's zero margin
+        # rows (longitude column < p <= o or >= wp - p), contributing 0.
         shift = (dx - p) % rows
         d_dx = pltpu.roll(dgates32, shift, 0) if shift else dgates32
         dw_ref[dx] += jax.lax.dot_general(
@@ -229,16 +221,14 @@ def fused_cell_bwd_v2(xh, c, dh, dc, w, b, k: int, o: int, w_valid: int, *,
         xh = jnp.pad(xh, ((0, 0), (0, 0), (0, 0), (0, c_pad - C)))
         w = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad - C), (0, 0)))
 
-    bb = get_batch_block() if B % get_batch_block() == 0 else 1
-
     def clamp(i):
         return jnp.clip(i, 0, n_tiles - 1)
 
     xh_block = lambda index_map: pl.BlockSpec(
-        (bb, th, wp, c_pad), index_map, memory_space=pltpu.VMEM
+        (1, th, wp, c_pad), index_map, memory_space=pltpu.VMEM
     )
     state_block = pl.BlockSpec(
-        (bb, th, wp, hidden), lambda bi, ti: (bi, ti, 0, 0),
+        (1, th, wp, hidden), lambda bi, ti: (bi, ti, 0, 0),
         memory_space=pltpu.VMEM,
     )
     acc_spec = lambda shape: pl.BlockSpec(
@@ -252,9 +242,9 @@ def fused_cell_bwd_v2(xh, c, dh, dc, w, b, k: int, o: int, w_valid: int, *,
     dgates, dc_prev, dw, db = pl.pallas_call(
         functools.partial(
             _cell_bwd_kernel, k=k, th=th, wp=wp, hidden=hidden, o=o,
-            w_valid=w_valid, bb=bb,
+            w_valid=w_valid,
         ),
-        grid=(B // bb, n_tiles),
+        grid=(B, n_tiles),
         in_specs=[
             xh_block(lambda bi, ti: (bi, clamp(ti - 1), 0, 0)),
             xh_block(lambda bi, ti: (bi, ti, 0, 0)),
@@ -270,7 +260,7 @@ def fused_cell_bwd_v2(xh, c, dh, dc, w, b, k: int, o: int, w_valid: int, *,
         ],
         out_specs=[
             pl.BlockSpec(
-                (bb, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
+                (1, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             state_block,
@@ -284,7 +274,6 @@ def fused_cell_bwd_v2(xh, c, dh, dc, w, b, k: int, o: int, w_valid: int, *,
             sds((1, 4 * hidden), jnp.float32),
         ],
         interpret=interpret,
-        **bb_compiler_params(bb),
     )(xh, xh, xh, c, dh, dc, w, b.reshape(1, -1))
     # dw rows are [dx, dy*C + c] -> (dy, dx, c, g)
     dw = dw.reshape(k, k, c_pad, 4 * hidden).transpose(1, 0, 2, 3)[:, :, :C]

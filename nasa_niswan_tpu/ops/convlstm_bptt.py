@@ -48,19 +48,15 @@ from nasa_niswan_tpu.ops.convlstm_pallas2 import (
     _conv_grads,
     _elementwise_bwd,
     fused_cell_forward_v2,
-    fused_cell_forward_v2s,
 )
 from nasa_niswan_tpu.ops.vma import vary_like
 
 
-def _cells_step(params, x_t, state, ks, o, w_valid, dt, emit: bool,
-                split: bool = False):
+def _cells_step(params, x_t, state, ks, o, w_valid, dt, emit: bool):
     """One timestep through all layers (padded-column layout).
 
     Returns (new_state, recs) where recs[l] = (layer input, gates) when
     ``emit`` (the transient quantities the backward needs), else [].
-    With ``split`` the [x; h] slab is assembled in VMEM by the kernel
-    instead of a per-step HBM concat (ops/convlstm_pallas2._cell_kernel_v2s).
     """
     inp = x_t
     new_state, recs = [], []
@@ -68,17 +64,11 @@ def _cells_step(params, x_t, state, ks, o, w_valid, dt, emit: bool,
         cell = params["cells"][li]
         h, c = state[li]
         w = jnp.concatenate([cell["w_x"], cell["w_h"]], axis=2).astype(dt)
-        if split:
-            out = fused_cell_forward_v2s(
-                inp.astype(dt), h, c, w, cell["b"].astype(jnp.float32),
-                k, o, w_valid, emit_gates=emit,
-            )
-        else:
-            xh = jnp.concatenate([inp.astype(dt), h.astype(dt)], axis=-1)
-            out = fused_cell_forward_v2(
-                xh, c, w, cell["b"].astype(jnp.float32), k, o, w_valid,
-                emit_gates=emit,
-            )
+        xh = jnp.concatenate([inp.astype(dt), h.astype(dt)], axis=-1)
+        out = fused_cell_forward_v2(
+            xh, c, w, cell["b"].astype(jnp.float32), k, o, w_valid,
+            emit_gates=emit,
+        )
         if emit:
             recs.append((inp, out[2]))
         new_state.append((out[0], out[1]))
@@ -86,9 +76,9 @@ def _cells_step(params, x_t, state, ks, o, w_valid, dt, emit: bool,
     return new_state, recs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def scan_cells_pallas2(params, xs, state0, ks, o, w_valid, dtype_str, unroll,
-                       bwd_impl="fused", split=False):
+                       bwd_impl="fused"):
     """Forward scan over time through the fused cells; returns the final
     per-layer (h, c) carry (f32, padded-column layout).
 
@@ -100,9 +90,7 @@ def scan_cells_pallas2(params, xs, state0, ks, o, w_valid, dtype_str, unroll,
     dt = jnp.dtype(dtype_str)
 
     def step(carry, x_t):
-        new, _ = _cells_step(
-            params, x_t, carry, ks, o, w_valid, dt, False, split
-        )
+        new, _ = _cells_step(params, x_t, carry, ks, o, w_valid, dt, False)
         return new, None
 
     final, _ = jax.lax.scan(step, state0, xs, unroll=unroll)
@@ -110,16 +98,14 @@ def scan_cells_pallas2(params, xs, state0, ks, o, w_valid, dtype_str, unroll,
 
 
 def _scan_fwd(params, xs, state0, ks, o, w_valid, dtype_str, unroll,
-              bwd_impl="fused", split=False):
+              bwd_impl="fused"):
     dt = jnp.dtype(dtype_str)
 
     # stack each step's INPUT carry (f32) as we go — the same storage
     # XLA's scan autodiff keeps for a rematerialized step body, and it
     # saves the backward a full forward replay
     def rec(carry, x_t):
-        new, _ = _cells_step(
-            params, x_t, carry, ks, o, w_valid, dt, False, split
-        )
+        new, _ = _cells_step(params, x_t, carry, ks, o, w_valid, dt, False)
         return new, carry
 
     final, state_stack = jax.lax.scan(rec, state0, xs, unroll=unroll)
@@ -196,7 +182,7 @@ def _scan_bwd_fused(ks, o, w_valid, dt, unroll, params, xs, state_stack,
     return d_params, dxs, d_state0
 
 
-def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, split, res,
+def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, res,
               d_final):
     params, xs, state0, state_stack, final = res
     dt = jnp.dtype(dtype_str)
@@ -225,7 +211,7 @@ def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, split, res,
         x_t, state_in = inp
         # rebuild this step's transient quantities with the fused kernel
         _, recs = _cells_step(
-            params, x_t, state_in, ks, o, w_valid, dt, True, split
+            params, x_t, state_in, ks, o, w_valid, dt, True
         )
         d_state = [list(s) for s in d_state]
         new_d = [None] * L

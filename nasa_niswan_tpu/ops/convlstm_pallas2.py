@@ -53,66 +53,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-# Experimental batch fold: how many batch elements share one grid cell's
-# matmuls (rows concat along M).  1 = shipped behavior; >1 trades VMEM for
-# fewer, deeper matmuls at large B (bench: scripts/bench_cell.py
-# --batch-block).  Module-level so the custom_vjp signatures stay fixed.
-_BATCH_BLOCK = 1
+def _fold_lhs(prev_ref, cur_ref, next_ref, k, th, wp, p, ti, n_tiles):
+    """The (th*wp, k*C) deep-tap operand: the haloed slab's k row-tap
+    slices lane-concatenated into one contraction-deep matmul LHS.  Shared
+    by the forward kernel and both backward kernels (convgrad_pallas).
 
-
-def set_batch_block(n: int) -> None:
-    """bb is baked into traced programs at trace time; changing it clears
-    the jit caches so an in-process A/B can never silently reuse an
-    executable compiled under the previous value."""
-    global _BATCH_BLOCK
-    n = max(1, int(n))
-    if n != _BATCH_BLOCK:
-        _BATCH_BLOCK = n
-        jax.clear_caches()
-
-
-def get_batch_block() -> int:
-    return _BATCH_BLOCK
-
-
-def bb_compiler_params(bb: int) -> dict:
-    """pallas_call kwargs for a folded (bb>1) grid: raise the scoped-VMEM
-    ceiling.  Mosaic's default 16 MiB scoped limit rejects the folded
-    working set (measured: bb=2 at canonical shapes needs 20.2 MiB —
-    "Ran out of memory in memory space vmem while allocating on stack"),
-    while v5e's physical VMEM is 128 MiB.  Only folded grids opt in; the
-    default arena split serves bb=1 best."""
-    if bb <= 1:
-        return {}
-    return {
-        "compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
-        )
-    }
-
-
-def _fold_lhs(prev_ref, cur_ref, next_ref, k, th, wp, p, ti, n_tiles, bb):
-    """The (bb*th*wp, k*C) deep-tap operand: per-batch haloed slabs
-    concatenated along the matmul row axis (bb=1 = the original layout).
-    Roll wraparound across batch-slab boundaries lands only in margin
-    columns, the same invariant that covers tile boundaries.  Shared by
-    the forward kernel and both backward kernels (convgrad_pallas)."""
-    if bb == 1:
-        return _lhs_cat(
-            _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles),
-            k, th, wp,
-        )
-    return jnp.concatenate(
-        [
-            _lhs_cat(
-                _build_slab(
-                    prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles, b
-                ),
-                k, th, wp,
-            )
-            for b in range(bb)
-        ],
-        axis=0,
+    A batch-block fold (several batch elements concatenated along the
+    matmul row axis) was built and measured a dead end on hardware — ~1%
+    at training B=8, worse at bb=4, pathological serving compiles; see
+    docs/PERFORMANCE.md "Retired variants"."""
+    return _lhs_cat(
+        _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles),
+        k, th, wp,
     )
 
 
@@ -152,19 +104,18 @@ def _margin_mask(th: int, wp: int, ch: int, o: int, w_valid: int):
     return (col >= o) & (col < o + w_valid)
 
 
-def _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles, b=0):
+def _build_slab(prev_ref, cur_ref, next_ref, th, wp, p, ti, n_tiles):
     """Haloed, flattened ((th+2p)*wp, C) slab from the clamped neighbor-tile
     blocks, with domain edges zeroed (rows beyond the grid are the conv's
     SAME zero padding).  Shared by the forward and backward kernels — the
-    halo/margin invariant lives HERE only.  ``b`` selects the batch element
-    within a multi-batch block (batch_block > 1)."""
+    halo/margin invariant lives HERE only."""
     C = cur_ref.shape[-1]
-    cur = cur_ref[b].reshape(th * wp, C)
+    cur = cur_ref[0].reshape(th * wp, C)
     if not p:
         return cur
-    top = prev_ref[b, th - p :].reshape(p * wp, C)
+    top = prev_ref[0, th - p :].reshape(p * wp, C)
     top = jnp.where(ti == 0, jnp.zeros_like(top), top)
-    bot = next_ref[b, :p].reshape(p * wp, C)
+    bot = next_ref[0, :p].reshape(p * wp, C)
     bot = jnp.where(ti == n_tiles - 1, jnp.zeros_like(bot), bot)
     return jnp.concatenate([top, cur, bot], axis=0)
 
@@ -203,7 +154,7 @@ def _finish_cell(gates, c_ref, h_out_ref, c_out_ref, g_out_ref,
                  hidden: int, th: int, wp: int, o: int, w_valid: int):
     """Shared kernel epilogue: gate nonlinearities + state update
     (reference model.py:221-229) and the margin re-zeroing that carries the
-    padded-column invariant to the next step.  ``gates`` is (bb, th, wp,
+    padded-column invariant to the next step.  ``gates`` is (1, th, wp,
     4*hidden) f32 pre-activation."""
     if g_out_ref is not None:
         # margin values are roll/conv-edge garbage but the VJP masks its
@@ -223,23 +174,15 @@ def _finish_cell(gates, c_ref, h_out_ref, c_out_ref, g_out_ref,
 
 
 def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
-                    w_valid: int, has_xg: bool, emit_gates: bool = False,
-                    bb: int = 1):
-    """One (batch-block, row-tile) grid cell.
+                    w_valid: int, has_xg: bool, emit_gates: bool = False):
+    """One (batch, row-tile) grid cell.
 
-    refs (inputs): prev, cur, next — (bb, th, wp, C) row tiles of the
+    refs (inputs): prev, cur, next — (1, th, wp, C) row tiles of the
     padded-column input (tile ti-1 / ti / ti+1, clamped at the domain
-    edges); c (bb, th, wp, hidden) f32; w (k, k, C, 4*hidden); b (1, 4h);
-    [xg (bb, th, wp, 4h) when has_xg].  Outputs: h', c' (bb, th, wp,
-    hidden); [pre-activation gates (bb, th, wp, 4h) when emit_gates — the
+    edges); c (1, th, wp, hidden) f32; w (k, k, C, 4*hidden); b (1, 4h);
+    [xg (1, th, wp, 4h) when has_xg].  Outputs: h', c' (1, th, wp,
+    hidden); [pre-activation gates (1, th, wp, 4h) when emit_gates — the
     training residual that lets the VJP skip the forward-conv recompute].
-
-    With ``bb > 1`` the bb per-batch slabs concatenate along the matmul
-    row axis, so each column tap is ONE (bb*th*wp, k*C) matmul — larger M
-    amortizes per-matmul overhead at big batch.  Roll wraparound across
-    batch-slab boundaries lands only in margin columns (the shifted row's
-    longitude moves by |dx-p| <= p <= o), which the output mask zeroes —
-    the same argument that makes tile-boundary wraparound safe.
     """
     g_out_ref = None
     if has_xg and emit_gates:
@@ -264,53 +207,13 @@ def _cell_kernel_v2(*refs, k: int, th: int, wp: int, hidden: int, o: int,
     # k matmuls per cell instead of k*k shallow ones keeps the MXU
     # pipeline fed (measured: the K=C-per-tap form spends ~half its time
     # outside the systolic array at these shapes).
-    lhs = _fold_lhs(prev_ref, cur_ref, next_ref, k, th, wp, p, ti, n_tiles, bb)
-    acc = _deep_tap_conv(lhs, w_ref, k, th * bb, wp, 4 * hidden)
+    lhs = _fold_lhs(prev_ref, cur_ref, next_ref, k, th, wp, p, ti, n_tiles)
+    acc = _deep_tap_conv(lhs, w_ref, k, th, wp, 4 * hidden)
     if has_xg:
-        acc = acc + xg_ref[:].reshape(bb * th * wp, 4 * hidden).astype(
+        acc = acc + xg_ref[:].reshape(th * wp, 4 * hidden).astype(
             jnp.float32
         )
 
-    gates = (acc + b_ref[0].astype(jnp.float32)).reshape(
-        bb, th, wp, 4 * hidden
-    )
-    _finish_cell(gates, c_ref, h_out_ref, c_out_ref, g_out_ref,
-                 hidden, th, wp, o, w_valid)
-
-
-def _cell_kernel_v2s(*refs, k: int, th: int, wp: int, hidden: int, o: int,
-                     w_valid: int, emit_gates: bool = False):
-    """Split-operand variant of ``_cell_kernel_v2``: x and h arrive as
-    SEPARATE ref triples and the [x; h] slab is assembled in VMEM, so the
-    per-step HBM concat+pad of the xh tensor never happens (measured ~13 ms
-    of a 110 ms serving chunk as copy.*/pad fusions —
-    docs/profile/pallas2_deeptap.json).  Matmul shapes are IDENTICAL to the
-    concat path: the lane layout [x | h | zero-pad to a 128 multiple]
-    matches the caller's zero-padded weight rows, so the MXU work is
-    unchanged; only the HBM round-trip moves into a VMEM lane concat."""
-    if emit_gates:
-        (px, cx, nx, ph, ch, nh, c_ref, w_ref, b_ref,
-         h_out_ref, c_out_ref, g_out_ref) = refs
-    else:
-        (px, cx, nx, ph, ch, nh, c_ref, w_ref, b_ref,
-         h_out_ref, c_out_ref) = refs
-        g_out_ref = None
-
-    ti = pl.program_id(1)
-    n_tiles = pl.num_programs(1)
-    p = k // 2
-    dt = cx.dtype  # x carries the compute dtype; h is the f32 carry
-
-    sx = _build_slab(px, cx, nx, th, wp, p, ti, n_tiles)
-    sh = _build_slab(ph, ch, nh, th, wp, p, ti, n_tiles).astype(dt)
-    pad = w_ref.shape[2] - sx.shape[-1] - sh.shape[-1]
-    parts = [sx, sh]
-    if pad:
-        parts.append(jnp.zeros((sx.shape[0], pad), dt))
-    slab = jnp.concatenate(parts, axis=-1)
-
-    lhs = _lhs_cat(slab, k, th, wp)
-    acc = _deep_tap_conv(lhs, w_ref, k, th, wp, 4 * hidden)
     gates = (acc + b_ref[0].astype(jnp.float32)).reshape(
         1, th, wp, 4 * hidden
     )
@@ -355,16 +258,14 @@ def fused_cell_forward_v2(
         w = jnp.pad(w, ((0, 0), (0, 0), (0, C_pad - C), (0, 0)))
         C = C_pad
 
-    bb = _BATCH_BLOCK if B % _BATCH_BLOCK == 0 else 1
-
     def clamp(i):
         return jnp.clip(i, 0, n_tiles - 1)
 
     in_block = lambda index_map: pl.BlockSpec(
-        (bb, th, wp, C), index_map, memory_space=pltpu.VMEM
+        (1, th, wp, C), index_map, memory_space=pltpu.VMEM
     )
     state_block = pl.BlockSpec(
-        (bb, th, wp, hidden), lambda bi, ti: (bi, ti, 0, 0),
+        (1, th, wp, hidden), lambda bi, ti: (bi, ti, 0, 0),
         memory_space=pltpu.VMEM,
     )
     in_specs = [
@@ -381,7 +282,7 @@ def fused_cell_forward_v2(
     if xg is not None:
         in_specs.append(
             pl.BlockSpec(
-                (bb, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
+                (1, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -390,7 +291,6 @@ def fused_cell_forward_v2(
     kernel = functools.partial(
         _cell_kernel_v2, k=k, th=th, wp=wp, hidden=hidden, o=o,
         w_valid=w_valid, has_xg=xg is not None, emit_gates=emit_gates,
-        bb=bb,
     )
     # Inside shard_map (the explicit-halo sharded serving path) the outputs
     # vary over the same mesh axes as the local-tile inputs; propagate the
@@ -404,7 +304,7 @@ def fused_cell_forward_v2(
     if emit_gates:
         out_specs.append(
             pl.BlockSpec(
-                (bb, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
+                (1, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -413,12 +313,11 @@ def fused_cell_forward_v2(
         )
     return pl.pallas_call(
         kernel,
-        grid=(B // bb, n_tiles),
+        grid=(B, n_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-        **bb_compiler_params(bb),
     )(*args)
 
 
@@ -436,108 +335,6 @@ def _cell_reference_v2(xh, c, w, b, k, o, w_valid, xg=None, *,
     if emit_gates:
         return h_new * mask, c_new * mask, gates.astype(xh.dtype)
     return h_new * mask, c_new * mask
-
-
-def fused_cell_forward_v2s(
-    x: jnp.ndarray,  # (B, H, wp, Cx) compute dtype, margin layout
-    h: jnp.ndarray,  # (B, H, wp, Ch) f32 carry, margin layout
-    c: jnp.ndarray,  # (B, H, wp, hidden) f32, margin layout
-    w: jnp.ndarray,  # (k, k, Cx + Ch, 4*hidden) combined [w_x; w_h]
-    b: jnp.ndarray,  # (4*hidden,)
-    k: int,
-    o: int,
-    w_valid: int,
-    *,
-    interpret: bool | None = None,
-    emit_gates: bool = False,
-) -> Tuple[jnp.ndarray, ...]:
-    """Split-operand fused cell: same math as ``fused_cell_forward_v2`` on
-    ``concat([x, h])`` but x and h stay separate HBM arrays — the slab is
-    assembled in VMEM (see ``_cell_kernel_v2s``), eliminating the per-step
-    concat+pad HBM traffic.  h/c are consumed f32 (the carry dtype) and
-    cast to the compute dtype in-kernel.
-
-    NOTE: the batch-block fold (``set_batch_block``) does NOT apply here —
-    this kernel always runs the per-batch (B, n_tiles) grid.  The fold is
-    a measured ~1% dead end on the concat kernel (docs/PERFORMANCE.md), so
-    it was not ported; bench_cell refuses the combination so no A/B ever
-    compares a folded concat grid against an unfolded split one."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    B, H, wp, Cx = x.shape
-    Ch = h.shape[-1]
-    hidden = c.shape[-1]
-    p = k // 2
-    th = _pick_row_tile(H)
-    if th <= p or wp % 8 or o < p or wp - o - w_valid < p:
-        xh = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
-        return _cell_reference_v2(
-            xh, c, w, b, k, o, w_valid, emit_gates=emit_gates
-        )
-    n_tiles = H // th
-
-    # pad WEIGHT rows so the contraction is a 128-lane multiple; the kernel
-    # pads the slab's lanes with in-VMEM zeros to match (no HBM pad op)
-    P = _round_up(Cx + Ch, 128)
-    if P != Cx + Ch:
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, P - Cx - Ch), (0, 0)))
-
-    def clamp(i):
-        return jnp.clip(i, 0, n_tiles - 1)
-
-    def tile_block(ch_count):
-        return lambda index_map: pl.BlockSpec(
-            (1, th, wp, ch_count), index_map, memory_space=pltpu.VMEM
-        )
-
-    x_block, h_block = tile_block(Cx), tile_block(Ch)
-    state_block = pl.BlockSpec(
-        (1, th, wp, hidden), lambda bi, ti: (bi, ti, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    in_specs = [
-        x_block(lambda bi, ti: (bi, clamp(ti - 1), 0, 0)),
-        x_block(lambda bi, ti: (bi, ti, 0, 0)),
-        x_block(lambda bi, ti: (bi, clamp(ti + 1), 0, 0)),
-        h_block(lambda bi, ti: (bi, clamp(ti - 1), 0, 0)),
-        h_block(lambda bi, ti: (bi, ti, 0, 0)),
-        h_block(lambda bi, ti: (bi, clamp(ti + 1), 0, 0)),
-        state_block,
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole array
-        pl.BlockSpec(
-            (1, 4 * hidden), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM
-        ),
-    ]
-    kernel = functools.partial(
-        _cell_kernel_v2s, k=k, th=th, wp=wp, hidden=hidden, o=o,
-        w_valid=w_valid, emit_gates=emit_gates,
-    )
-    vma = (
-        frozenset(getattr(jax.typeof(x), "vma", ()) or ())
-        | frozenset(getattr(jax.typeof(h), "vma", ()) or ())
-        | frozenset(getattr(jax.typeof(c), "vma", ()) or ())
-    )
-    out_sds = jax.ShapeDtypeStruct((B, H, wp, hidden), jnp.float32, vma=vma)
-    out_specs = [state_block, state_block]
-    out_shape = [out_sds, out_sds]
-    if emit_gates:
-        out_specs.append(
-            pl.BlockSpec(
-                (1, th, wp, 4 * hidden), lambda bi, ti: (bi, ti, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        out_shape.append(
-            jax.ShapeDtypeStruct((B, H, wp, 4 * hidden), x.dtype, vma=vma)
-        )
-    return pl.pallas_call(
-        kernel,
-        grid=(B, n_tiles),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(x, x, x, h, h, h, c, w, b.reshape(1, -1))
 
 
 def _conv_grads(x, w, dgates, k):
@@ -626,49 +423,13 @@ def _v2_xg_bwd(k, o, w_valid, res, grads):
 _fused_cell_v2_xg.defvjp(_v2_xg_fwd, _v2_xg_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _fused_cell_v2s(x, h, c, w, b, k, o, w_valid):
-    return fused_cell_forward_v2s(x, h, c, w, b, k, o, w_valid)
-
-
-def _v2s_fwd(x, h, c, w, b, k, o, w_valid):
-    h_new, c_new, gates = fused_cell_forward_v2s(
-        x, h, c, w, b, k, o, w_valid, emit_gates=True
-    )
-    return (h_new, c_new), (x, h, c, gates, w)
-
-
-def _v2s_bwd(k, o, w_valid, res, grads):
-    # the backward concatenates [x; h] transiently — backward passes run
-    # once per step vs the forward's per-chunk reuse, and XLA's conv grads
-    # want the combined operand anyway
-    x, h, c, gates, w = res
-    dgates32, dc_prev = _elementwise_bwd(gates, c, *grads, o, w_valid)
-    xh = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
-    dxh, dw = _conv_grads(xh, w, dgates32.astype(x.dtype), k)
-    db = dgates32.sum(axis=(0, 1, 2))
-    cx = x.shape[-1]
-    return (
-        dxh[..., :cx],
-        dxh[..., cx:].astype(jnp.float32),
-        dc_prev,
-        dw,
-        db,
-    )
-
-
-_fused_cell_v2s.defvjp(_v2s_fwd, _v2s_bwd)
-
-
 def cell_step_pallas2(
     cell, x, h, c, k: int, compute_dtype, o: int, w_valid: int,
-    *, x_already_conved: bool = False, split: bool = False,
+    *, x_already_conved: bool = False,
 ):
     """Cell step in the padded-column layout (models/convlstm.py 'pallas2'
     path).  With ``x_already_conved``, x is the hoisted input-gate tensor
-    (B, H, wp, 4*hidden) and only the h-conv runs in the kernel.  With
-    ``split``, x and h go to the kernel as separate operands and the [x; h]
-    slab is assembled in VMEM (no per-step HBM concat)."""
+    (B, H, wp, 4*hidden) and only the h-conv runs in the kernel."""
     dt = jnp.dtype(compute_dtype)
     if x_already_conved:
         return _fused_cell_v2_xg(
@@ -676,11 +437,6 @@ def cell_step_pallas2(
             cell["b"].astype(jnp.float32), k, o, w_valid,
         )
     w = jnp.concatenate([cell["w_x"], cell["w_h"]], axis=2).astype(dt)
-    if split:
-        return _fused_cell_v2s(
-            x.astype(dt), h, c, w, cell["b"].astype(jnp.float32),
-            k, o, w_valid,
-        )
     xh = jnp.concatenate([x.astype(dt), h.astype(dt)], axis=-1)
     return _fused_cell_v2(
         xh, c, w, cell["b"].astype(jnp.float32), k, o, w_valid

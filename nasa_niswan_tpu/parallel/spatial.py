@@ -591,18 +591,6 @@ def make_sharded_feedback_rollout(
     local tiles (cell_impl="auto").
     """
     config = _resolve_sharded_impl(config, cell_impl)
-    if config.fuse_tail:
-        # same operator feedback as the single-device closed loop
-        # (evalx.evaluate.make_closed_loop_chunk): the option is unrouted
-        # here too, and serving the same snapshot sharded must say so
-        import warnings
-
-        warnings.warn(
-            "fuse_tail is not routed in the sharded closed-loop scan (the "
-            "tail kernel measured throughput-neutral, docs/PERFORMANCE.md); "
-            "running per-layer cells",
-            stacklevel=2,
-        )
     H, W = padded_shape
     norm = normalizer
     x_mean = jnp.asarray(norm.x_mean).reshape(-1, 1, 1)

@@ -32,13 +32,9 @@ def main():
     ap.add_argument(
         "--impls",
         nargs="*",
-        default=["xla:hoist", "xla:scan", "pallas2:scan", "pallas2s:scan",
-                 "pallas2t:scan", "pallas2st:scan", "pallas2:hoist",
+        default=["xla:hoist", "xla:scan", "pallas2:scan", "pallas2:hoist",
                  "pallas:scan"],
-        help="impl:mode pairs; mode hoist = precompute_input_conv; "
-             "pallas2 suffixes: s = split x/h kernel operands (no per-step "
-             "HBM concat), t = fused tail kernel (last two cells in one "
-             "pallas_call), st = both",
+        help="impl:mode pairs; mode hoist = precompute_input_conv",
     )
     ap.add_argument(
         "--train", action="store_true",
@@ -56,33 +52,7 @@ def main():
              "XLA cell on this backend at bf16 tolerance (the guard behind "
              "cell_impl='auto' swapping kernels in serving)",
     )
-    ap.add_argument(
-        "--batch-block", type=int, default=1,
-        help="fold this many batch elements into each pallas2 grid cell's "
-             "matmuls (ops/convlstm_pallas2.set_batch_block) — the "
-             "large-batch experiment; interpret-parity-tested, perf TBD "
-             "on hardware",
-    )
     args = ap.parse_args()
-
-    if args.batch_block != 1:
-        from nasa_niswan_tpu.ops.convlstm_pallas2 import set_batch_block
-
-        variant_specs = [
-            s for s in args.impls
-            if s.split(":")[0] in ("pallas2s", "pallas2t", "pallas2st")
-        ]
-        if variant_specs:
-            # the split/tail kernels ignore the fold (see
-            # fused_cell_forward_v2s docstring) — refusing beats printing
-            # a folded-vs-unfolded comparison labeled as like-for-like
-            raise SystemExit(
-                f"--batch-block {args.batch_block} does not apply to "
-                f"{variant_specs}: the split/tail kernels always run the "
-                "per-batch grid; drop them or use bb=1"
-            )
-        set_batch_block(args.batch_block)
-        print(f"pallas2 batch_block = {args.batch_block}")
 
     import jax
     import jax.numpy as jnp
@@ -119,14 +89,11 @@ def main():
         # guarded on actual hardware.
         T_par = min(48, args.steps)
         outs = {}
-        for impl in ("xla", "pallas2", "pallas2s", "pallas2t", "pallas2st"):
-            variant = impl.startswith("pallas2") and impl != "pallas2"
+        for impl in ("xla", "pallas2"):
             cfg = ConvLSTMConfig(
                 in_channels=C, hidden_channels=(64, 32, 16),
                 kernel_sizes=(5, 3, 3), compute_dtype="bfloat16",
-                cell_impl="pallas2" if variant else impl,
-                split_xh=impl in ("pallas2s", "pallas2st"),
-                fuse_tail=impl in ("pallas2t", "pallas2st"),
+                cell_impl=impl,
             )
             params = convlstm_init(jax.random.PRNGKey(0), cfg)
             rollout = make_rollout_fn(
@@ -136,7 +103,7 @@ def main():
             preds, state = rollout(params, forcings[:, :T_par])
             outs[impl] = (np.asarray(preds), np.asarray(state[0][0]))
         scale = max(np.abs(outs["xla"][0]).max(), 1e-6)
-        for impl in ("pallas2", "pallas2s", "pallas2t", "pallas2st"):
+        for impl in ("pallas2",):
             d_pred = np.abs(outs["xla"][0] - outs[impl][0])
             d_h = np.abs(outs["xla"][1] - outs[impl][1])
             rel = d_pred.max() / scale
@@ -153,13 +120,10 @@ def main():
     base_params = None
     for spec in args.impls:
         impl, mode = spec.split(":")
-        split = impl in ("pallas2s", "pallas2st")
-        tail = impl in ("pallas2t", "pallas2st")
         cfg = ConvLSTMConfig(
             in_channels=C, hidden_channels=(64, 32, 16),
             kernel_sizes=(5, 3, 3), compute_dtype="bfloat16",
-            cell_impl="pallas2" if (split or tail) else impl,
-            split_xh=split, fuse_tail=tail,
+            cell_impl=impl,
         )
         if base_params is None:
             base_params = convlstm_init(jax.random.PRNGKey(0), cfg)
@@ -216,7 +180,6 @@ def _bench_train(args):
     variants = (
         ("xla", dict(cell_impl="xla")),
         ("pallas2", dict(cell_impl="pallas2")),  # fused Pallas backward
-        ("pallas2_split", dict(cell_impl="pallas2", split_xh=True)),
         ("pallas2_xlabwd", dict(cell_impl="pallas2", bptt_bwd="xla")),
     )
     for B in args.train_batches:

@@ -1,0 +1,273 @@
+"""Config #4 executed end-to-end: a multi-year-equivalent training campaign.
+
+The reference's canonical run is 30 epochs over one training year at
+bs=8, T=48 on a single GPU (launcher.sh:13-32, train.py:82-145).  This
+script runs the TPU-native equivalent at year scale — the full 17,520-step
+fixture (the reference's 1950 training year, dataset.py:432-442), canonical
+ConvLSTM 64/32/16 (k 5/3/3), bs 8, bf16 + remat + fused Pallas BPTT — with
+periodic validation and checkpoints, and records the campaign to JSON:
+
+    # throughput leg, ONE real TPU chip, device-resident window slab:
+    python scripts/run_train_year.py --epochs 12 --out docs/results_train_year.json
+
+    # correctness leg, GSPMD data-parallel over the 8-device CPU mesh:
+    python scripts/run_train_year.py --platform cpu --steps 2880 --epochs 3 \
+        --dp 8 --out /tmp/train_year_cpu.json
+
+"Multi-year-equivalent" is accounted honestly in the JSON: every training
+window is one emulated model-day (T=48 steps = 24 h, dataset.py:146-151),
+so `window_days_consumed / 365` is the campaign's years-of-training-data
+equivalent.  With `--stride 48` an epoch visits each calendar day of the
+training split exactly once (non-overlapping windows); `--stride 1` is the
+reference's full sliding-window epoch (dataset.py:543-545).
+
+Modes:
+  --dp 1 (default)  device-resident windows: the year's forcing slab is
+                    uploaded once, each step gathers its (B, T, C, H, W)
+                    batch on-device by start index (train/loop.py
+                    DeviceWindowSource) — the production single-chip path.
+  --dp N            GSPMD data parallel over an N-device mesh
+                    (parallel/dp.py): batch axis sharded, params
+                    replicated, XLA-inserted gradient allreduce.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=17520,
+                    help="fixture length in 30-min steps (17520 = 1 year)")
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--seq-len", type=int, default=48)
+    ap.add_argument("--stride", type=int, default=48,
+                    help="window-start stride per epoch (48 = daily "
+                         "non-overlapping; 1 = reference sliding windows)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel devices (GSPMD mesh when > 1)")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--eval-windows", type=int, default=64,
+                    help="validation windows scored per epoch")
+    ap.add_argument("--ckpt-every", type=int, default=4)
+    ap.add_argument("--snapshot-dir", default="/tmp/train_year_snapshots")
+    ap.add_argument("--out", default="docs/results_train_year.json")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--grid", type=int, nargs=2, default=[90, 144],
+                    help="lat x lon grid (reduce for the CPU-mesh "
+                         "correctness leg; padding stays +10 per axis)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu' for the virtual "
+                         "mesh — the TPU PJRT plugin ignores JAX_PLATFORMS)")
+    args = ap.parse_args()
+
+    if args.platform == "cpu" and "xla_force_host_platform_device_count" \
+            not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={max(8, args.dp)}"
+        ).strip()
+
+    from nasa_niswan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from nasa_niswan_tpu.data.dataset import SequenceDataset
+    from nasa_niswan_tpu.data.synthetic import synthetic_e33oma_90d
+    from nasa_niswan_tpu.models.registry import build_model
+    from nasa_niswan_tpu.train.checkpoint import save_checkpoint
+    from nasa_niswan_tpu.train.loop import (
+        DeviceWindowSource,
+        make_device_eval_step,
+        make_device_train_step,
+        make_optimizer,
+    )
+    from nasa_niswan_tpu.train.schedule import step_lr
+
+    backend = jax.default_backend()
+    print(f"[campaign] backend={backend} devices={len(jax.devices())} "
+          f"steps={args.steps} epochs={args.epochs} dp={args.dp}",
+          flush=True)
+
+    tic = time.perf_counter()
+    GH, GW = args.grid
+    GRID, PADDED = (GH, GW), (GH + 10, GW + 10)
+    data = synthetic_e33oma_90d(T=args.steps, seed=args.seed, H=GH, W=GW)
+    print(f"[campaign] fixture built in {time.perf_counter() - tic:.1f}s",
+          flush=True)
+    ds_tr = SequenceDataset(data, period="train", sequence_length=args.seq_len,
+                            in_channels=8)
+    ds_va = SequenceDataset(data, period="val", sequence_length=args.seq_len,
+                            in_channels=8)
+    static = data["static"][:3]
+
+    bundle = build_model(
+        "LSTM-year-campaign", in_channels=8, hidden_channels=(64, 32, 16),
+        kernel_sizes=(5, 3, 3), compute_dtype="bfloat16", cell_impl="auto",
+        remat=True,
+    )
+    params, state = bundle.init(jax.random.PRNGKey(args.seed))
+    opt = make_optimizer(args.lr, (0.5, 0.999))
+    opt_state = opt.init(params)
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    BS = args.batch_size
+    if args.dp > 1:
+        # GSPMD DP: batch-sharded host batches, replicated params/opt —
+        # the parallel/dp.py path, parity-tested vs single-device.
+        from nasa_niswan_tpu.parallel.dp import (
+            make_dp_eval_step,
+            make_dp_train_step,
+        )
+        from nasa_niswan_tpu.parallel.mesh import make_mesh
+
+        if BS % args.dp:
+            raise SystemExit("--batch-size must divide by --dp")
+        mesh = make_mesh(dp=args.dp, devices=jax.devices()[: args.dp])
+        step_tr = make_dp_train_step(
+            bundle, ds_tr.normalizer, opt, mesh, padded_shape=PADDED,
+            grid_shape=GRID, static=static,
+        )
+        step_ev = make_dp_eval_step(
+            bundle, ds_va.normalizer, mesh, padded_shape=PADDED,
+            grid_shape=GRID, static=static,
+        )
+
+        def train_batch(starts, srng):
+            nonlocal params, state, opt_state
+            xs, ys = zip(*(ds_tr[int(i)] for i in starts))
+            params, state, opt_state, metrics = step_tr(
+                params, state, opt_state, np.stack(xs), np.stack(ys), srng
+            )
+            return metrics
+
+        def eval_batch(starts):
+            xs, ys = zip(*(ds_va[int(i)] for i in starts))
+            r2s, _ = step_ev(params, state, np.stack(xs), np.stack(ys))
+            return r2s
+    else:
+        # Device-resident window slab (train/loop.py): upload once, gather
+        # per-batch windows on device — the single-chip production path.
+        src_tr = DeviceWindowSource(ds_tr)
+        src_va = DeviceWindowSource(ds_va)
+        step_tr = make_device_train_step(
+            bundle, ds_tr.normalizer, opt, src_tr, padded_shape=PADDED,
+            grid_shape=GRID, static=static,
+        )
+        step_ev = make_device_eval_step(
+            bundle, ds_va.normalizer, src_va, padded_shape=PADDED,
+            grid_shape=GRID, static=static,
+        )
+
+        def train_batch(starts, srng):
+            nonlocal params, state, opt_state
+            params, state, opt_state, metrics = step_tr(
+                params, state, opt_state, jnp.asarray(starts, jnp.int32), srng
+            )
+            return metrics
+
+        def eval_batch(starts):
+            r2s, _ = step_ev(params, state, jnp.asarray(starts, jnp.int32))
+            return r2s
+
+    # epoch window starts: stride-subsampled, shuffled per epoch with the
+    # reference's deterministic per-epoch generator discipline
+    base_starts = np.arange(0, len(ds_tr) - args.seq_len, args.stride)
+    va_step = max(1, len(ds_va) // max(1, args.eval_windows))
+    va_starts = np.arange(0, len(ds_va), va_step)[: args.eval_windows]
+
+    epochs_log = []
+    total_steps = 0
+    lr = args.lr
+    campaign_tic = time.perf_counter()
+    for epoch in range(1, args.epochs + 1):
+        order = base_starts.copy()
+        np.random.default_rng(args.seed + epoch).shuffle(order)
+        n_batches = len(order) // BS
+        ep_tic = time.perf_counter()
+        for b in range(n_batches):
+            rng, srng = jax.random.split(rng)
+            metrics = train_batch(order[b * BS : (b + 1) * BS], srng)
+        loss = float(np.asarray(metrics["loss"]))  # syncs the epoch
+        ep_train_s = time.perf_counter() - ep_tic
+
+        # StepLR semantics (train.py:71-72,120): decay every 10 epochs
+        new_lr = step_lr(args.lr, 10, 0.9, epoch)
+        if new_lr != lr:
+            from nasa_niswan_tpu.train.loop import set_learning_rate
+
+            opt_state = set_learning_rate(opt_state, new_lr)
+            lr = new_lr
+
+        r2_chunks = [
+            np.asarray(eval_batch(va_starts[s : s + BS]))
+            for s in range(0, len(va_starts) - len(va_starts) % BS, BS)
+        ]
+        val_r2 = float(np.concatenate(r2_chunks).mean()) if r2_chunks else None
+        total_steps += n_batches
+        days = n_batches * BS * args.seq_len / 48.0
+        row = {
+            "epoch": epoch,
+            "train_loss": round(loss, 6),
+            "train_r2": round(float(np.asarray(metrics["r2"])), 4),
+            "val_r2": None if val_r2 is None else round(val_r2, 4),
+            "lr": lr,
+            "steps": n_batches,
+            "train_s": round(ep_train_s, 2),
+            "days_per_min": round(days / (ep_train_s / 60.0), 1),
+        }
+        epochs_log.append(row)
+        print(f"[campaign] {json.dumps(row)}", flush=True)
+        if epoch % args.ckpt_every == 0 or epoch == args.epochs:
+            d = os.path.join(args.snapshot_dir, f"epoch-{epoch:03d}")
+            save_checkpoint(d, params, opt_state, learning_rate=lr,
+                            epoch=epoch, model_state=state)
+
+    wall = time.perf_counter() - campaign_tic
+    window_days = total_steps * BS * args.seq_len / 48.0
+    steady = epochs_log[1:] or epochs_log  # drop the compile epoch
+    result = {
+        "what": "config #4 multi-year-equivalent training campaign "
+                "(canonical ConvLSTM 64/32/16, bs %d, T=%d, bf16+remat+"
+                "fused BPTT)" % (BS, args.seq_len),
+        "backend": backend,
+        "devices": len(jax.devices()),
+        "dp": args.dp,
+        "fixture_steps": args.steps,
+        "stride": args.stride,
+        "epochs": args.epochs,
+        "optimizer_steps": total_steps,
+        "window_days_consumed": window_days,
+        "years_equivalent": round(window_days / 365.0, 2),
+        "campaign_wall_s": round(wall, 1),
+        "steady_days_per_min": round(
+            float(np.mean([e["days_per_min"] for e in steady])), 1
+        ),
+        "final_train_loss": epochs_log[-1]["train_loss"],
+        "final_val_r2": epochs_log[-1]["val_r2"],
+        "epochs_log": epochs_log,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "epochs_log"}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

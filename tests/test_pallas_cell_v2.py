@@ -116,117 +116,6 @@ def test_v2_custom_vjp_matches_xla_grads(rng):
         cp2.fused_cell_forward_v2 = orig
 
 
-@pytest.mark.parametrize(
-    "B,H,W,Cx,Ch,k",
-    # Cx+Ch spanning exact-128 pad-free and padded contractions
-    [(1, 16, 24, 5, 8, 3), (2, 20, 28, 13, 16, 5), (1, 12, 20, 4, 4, 1)],
-)
-@pytest.mark.parametrize("dt", [np.float32, jnp.bfloat16])
-def test_v2_split_matches_concat(rng, B, H, W, Cx, Ch, k, dt):
-    """Split-operand kernel (x, h separate refs; slab assembled in VMEM)
-    must match the concat kernel exactly — identical matmul shapes, the
-    per-step HBM concat just moves into the kernel."""
-    from nasa_niswan_tpu.ops.convlstm_pallas2 import fused_cell_forward_v2s
-
-    o = max(k // 2, 1)
-    wp = padded_cols(W, o)
-    hid = Ch
-    x = pad_cols(
-        rng.standard_normal((B, H, W, Cx)).astype(np.float32), o, wp
-    ).astype(dt)
-    h = pad_cols(rng.standard_normal((B, H, W, Ch)).astype(np.float32), o, wp)
-    c = pad_cols(rng.standard_normal((B, H, W, hid)).astype(np.float32), o, wp)
-    w = (rng.standard_normal((k, k, Cx + Ch, 4 * hid)) * 0.1).astype(
-        np.float32
-    )
-    b = rng.standard_normal((4 * hid,)).astype(np.float32)
-
-    xh = jnp.concatenate([jnp.asarray(x), jnp.asarray(h).astype(dt)], axis=-1)
-    want = fused_cell_forward_v2(
-        xh, c, jnp.asarray(w).astype(dt), b, k, o, W, interpret=True
-    )
-    got = fused_cell_forward_v2s(
-        jnp.asarray(x), jnp.asarray(h), jnp.asarray(c),
-        jnp.asarray(w).astype(dt), jnp.asarray(b), k, o, W, interpret=True,
-    )
-    for a, e in zip(got, want):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-6)
-
-
-def test_v2_split_grads_match_concat(rng):
-    """Gradients through the split custom VJP equal the concat VJP's."""
-    import nasa_niswan_tpu.ops.convlstm_pallas2 as cp2
-
-    B, H, W, Cx, Ch, k = 1, 8, 12, 5, 4, 3
-    hid = Ch
-    o = k // 2
-    wp = padded_cols(W, o)
-    x = pad_cols(rng.standard_normal((B, H, W, Cx)).astype(np.float32), o, wp)
-    h = pad_cols(rng.standard_normal((B, H, W, Ch)).astype(np.float32), o, wp)
-    c = pad_cols(rng.standard_normal((B, H, W, hid)).astype(np.float32), o, wp)
-    w = (rng.standard_normal((k, k, Cx + Ch, 4 * hid)) * 0.1).astype(
-        np.float32
-    )
-    b = rng.standard_normal((4 * hid,)).astype(np.float32)
-    x, h, c, w, b = map(jnp.asarray, (x, h, c, w, b))
-
-    def loss_split(x, h, c, w, b):
-        hn, cn = cp2._fused_cell_v2s(x, h, c, w, b, k, o, W)
-        return jnp.sum(hn**2) + jnp.sum(cn * 0.5)
-
-    def loss_concat(x, h, c, w, b):
-        xh = jnp.concatenate([x, h], axis=-1)
-        hn, cn = cp2._fused_cell_v2(xh, c, w, b, k, o, W)
-        return jnp.sum(hn**2) + jnp.sum(cn * 0.5)
-
-    g1 = jax.grad(loss_split, argnums=(0, 1, 2, 3, 4))(x, h, c, w, b)
-    g2 = jax.grad(loss_concat, argnums=(0, 1, 2, 3, 4))(x, h, c, w, b)
-    for a, e in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-5)
-
-
-def test_full_model_split_xh(rng):
-    """convlstm_apply(split_xh=True) — plain scan AND the BPTT training
-    path — matches the concat pallas2 path bit-for-bit in interpret mode."""
-    from nasa_niswan_tpu.models.convlstm import (
-        ConvLSTMConfig,
-        convlstm_apply,
-        convlstm_init,
-    )
-
-    x = rng.standard_normal((1, 3, 16, 24, 5)).astype(np.float32)
-    concat_cfg = ConvLSTMConfig(5, (4, 4), (5, 3), cell_impl="pallas2")
-    split_cfg = ConvLSTMConfig(
-        5, (4, 4), (5, 3), cell_impl="pallas2", split_xh=True
-    )
-    params = convlstm_init(jax.random.PRNGKey(0), concat_cfg)
-    want, want_state = convlstm_apply(params, x, concat_cfg, return_state=True)
-    got, got_state = convlstm_apply(params, x, split_cfg, return_state=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
-    for (hw, cw), (hg, cg) in zip(want_state, got_state):
-        np.testing.assert_allclose(np.asarray(hg), np.asarray(hw), atol=1e-6)
-        np.testing.assert_allclose(np.asarray(cg), np.asarray(cw), atol=1e-6)
-
-    # BPTT route (remat=True): loss and grads agree with the concat BPTT
-    def loss(cfg):
-        def f(p):
-            pred = convlstm_apply(p, x, cfg)
-            return jnp.sum(pred**2)
-        return jax.value_and_grad(f)(params)
-
-    (lw, gw) = loss(
-        ConvLSTMConfig(5, (4, 4), (5, 3), cell_impl="pallas2", remat=True)
-    )
-    (lg, gg) = loss(
-        ConvLSTMConfig(
-            5, (4, 4), (5, 3), cell_impl="pallas2", remat=True, split_xh=True
-        )
-    )
-    np.testing.assert_allclose(float(lg), float(lw), rtol=1e-6)
-    for a, e in zip(jax.tree.leaves(gg), jax.tree.leaves(gw)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-5)
-
-
 @pytest.mark.parametrize("hoist", [False, True])
 def test_full_model_with_pallas2_cell(rng, hoist):
     """cell_impl='pallas2' through convlstm_apply matches the XLA path,
@@ -421,7 +310,7 @@ def test_cell_impl_auto_resolution(rng, monkeypatch):
     assert "pallas2" not in seen, (
         "train-mode auto without the BPTT route must fall back to xla"
     )
-    # same fallback when the route is blocked by hoist or fuse_tail
+    # same fallback when the route is blocked by the hoist
     auto_remat = mc.ConvLSTMConfig(
         5, (4,), (3,), cell_impl="auto", remat=True
     )
@@ -545,108 +434,3 @@ def test_bptt_fused_bwd_bf16_smoke(rng):
         assert np.isfinite(a).all()
         scale = max(np.abs(b).max(), 1e-6)
         assert np.abs(a - b).max() / scale < 0.1
-
-
-def test_batch_block_fold_parity():
-    """batch_block > 1 folds several batch elements' slabs into one grid
-    cell's matmul rows (M = bb*th*wp); outputs must be bit-compatible with
-    the per-batch grid in both entry modes, and a non-dividing bb must
-    fall back to 1."""
-    import nasa_niswan_tpu.ops.convlstm_pallas2 as p2
-
-    rng = np.random.default_rng(0)
-    B, H, W, C, hid, k = 4, 20, 27, 9, 16, 5
-    o = p2.col_margin((k,))
-    wp = p2.padded_cols(W, o)
-    xh = p2.pad_cols(
-        jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32), o, wp
-    )
-    c = p2.pad_cols(
-        jnp.asarray(rng.standard_normal((B, H, W, hid)), jnp.float32), o, wp
-    )
-    w = jnp.asarray(rng.standard_normal((k, k, C, 4 * hid)), jnp.float32)
-    b = jnp.asarray(rng.standard_normal((4 * hid,)), jnp.float32)
-    xg = p2.pad_cols(
-        jnp.asarray(rng.standard_normal((B, H, W, 4 * hid)), jnp.float32),
-        o, wp,
-    )
-    try:
-        for mode_xg in (None, xg):
-            outs = {}
-            for bb in (1, 2, 4, 3):  # 3 does not divide B=4 -> fallback
-                p2.set_batch_block(bb)
-                outs[bb] = p2.fused_cell_forward_v2(
-                    xh, c, w, b, k, o, W, mode_xg,
-                    interpret=True, emit_gates=True,
-                )
-            for bb in (2, 4, 3):
-                for a, r in zip(outs[bb], outs[1]):
-                    np.testing.assert_allclose(
-                        np.asarray(a), np.asarray(r), rtol=2e-6, atol=2e-6
-                    )
-    finally:
-        p2.set_batch_block(1)
-
-
-def test_batch_block_fold_backward_parity(rng):
-    """The batch fold applies to the fused BACKWARD kernels too
-    (ops/convgrad_pallas): per-kernel cotangents and the full-model
-    pallas2+remat gradients are identical for bb in {1, 2, 4} (and a
-    non-dividing bb falls back)."""
-    import nasa_niswan_tpu.ops.convlstm_pallas2 as p2
-    from nasa_niswan_tpu.models.convlstm import (
-        ConvLSTMConfig,
-        convlstm_apply,
-        convlstm_init,
-    )
-    from nasa_niswan_tpu.ops.convgrad_pallas import cell_grads_pallas
-
-    B, H, W, C, hid, k = 4, 20, 27, 9, 16, 3
-    o = p2.col_margin((5, k))
-    wp = p2.padded_cols(W, o)
-    pc = lambda a: p2.pad_cols(jnp.asarray(a, jnp.float32), o, wp)
-    xh = pc(rng.standard_normal((B, H, W, C)))
-    c = pc(rng.standard_normal((B, H, W, hid)))
-    dh = pc(rng.standard_normal((B, H, W, hid)))
-    dc = pc(rng.standard_normal((B, H, W, hid)))
-    w = jnp.asarray(rng.standard_normal((k, k, C, 4 * hid)), jnp.float32)
-    b = jnp.asarray(rng.standard_normal((4 * hid,)), jnp.float32)
-
-    x_model = jnp.asarray(
-        rng.standard_normal((4, 3, 16, 24, 5)).astype(np.float32)
-    )
-    cfg = ConvLSTMConfig(5, (4, 4), (5, 3), cell_impl="pallas2", remat=True)
-    params = convlstm_init(jax.random.PRNGKey(0), cfg)
-    model_grads = lambda: jax.grad(
-        lambda p: jnp.sum(convlstm_apply(p, x_model, cfg) ** 2)
-    )(params)
-
-    try:
-        # per-kernel cotangents over every fold shape (cheap: interpret
-        # kernels, no model compile); the dividing 2/4 folds plus the
-        # non-dividing 3 fallback
-        kernel_outs = {}
-        for bb in (1, 2, 4, 3):
-            p2.set_batch_block(bb)
-            kernel_outs[bb] = cell_grads_pallas(
-                xh, c, dh, dc, w, b, k, o, W, interpret=True
-            )
-        for bb in (2, 4, 3):
-            for a, r in zip(kernel_outs[bb], kernel_outs[1]):
-                np.testing.assert_allclose(
-                    np.asarray(a), np.asarray(r), rtol=3e-5, atol=3e-5
-                )
-        # full-model pallas2+remat grads: one folded case suffices (each
-        # bb is a separate BPTT compile — the dominant test cost)
-        model_outs = {}
-        for bb in (1, 2):
-            p2.set_batch_block(bb)
-            model_outs[bb] = model_grads()
-        for a, r in zip(
-            jax.tree.leaves(model_outs[2]), jax.tree.leaves(model_outs[1])
-        ):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(r), rtol=3e-5, atol=3e-5
-            )
-    finally:
-        p2.set_batch_block(1)
