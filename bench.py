@@ -25,18 +25,21 @@ import time
 import numpy as np
 
 
-def _preflight(timeout_s: float = 120.0, attempts: int = 8) -> None:
+def _preflight(budget_s: float = 720.0) -> None:
     """Fail fast (instead of hanging the harness) if the TPU worker is
-    unreachable — a tiny computation must materialize within the timeout.
+    unreachable — a tiny computation must materialize within the budget.
 
-    Outage-proof: retries with backoff (transient tunnel drops recover
-    within a couple of minutes; a cold tunnel wake was MEASURED to take
-    ~8 min of backend init — 4 failed probes — before answering, so the
-    budget must cover ~10 min), and on final failure exits via os._exit
-    so interpreter teardown — which the axon tunnel client intermittently
-    aborts with "FATAL: exception not rethrown" — never runs.  A teardown
-    abort turns a clean rc=1 into rc=134 and loses the diagnostic
-    (this exact failure ate the round-2 driver bench)."""
+    One PERSISTENT probe thread, polled with exponential backoff
+    (5s → 10 → 20 → ... → 120s report intervals): a healthy device
+    acquires in the first ~5 s window instead of after a fixed 120 s
+    join (round-4 burned 10 minutes of fixed-interval probes on a cold
+    tunnel).  The 720 s total budget still covers the MEASURED ~8 min
+    backend init of a cold tunnel wake.  If the probe thread dies on an
+    exception it is restarted (transient tunnel drops recover).  On
+    final failure exits via os._exit so interpreter teardown — which the
+    axon tunnel client intermittently aborts with "FATAL: exception not
+    rethrown" — never runs.  A teardown abort turns a clean rc=1 into
+    rc=134 and loses the diagnostic (this ate the round-2 driver bench)."""
     import sys
     import threading
 
@@ -48,20 +51,24 @@ def _preflight(timeout_s: float = 120.0, attempts: int = 8) -> None:
         np.asarray(jnp.ones(1) + 1)
         ok.set()
 
-    for attempt in range(1, attempts + 1):
-        t = threading.Thread(target=probe, daemon=True)
-        t.start()
-        t.join(timeout_s)
-        if ok.is_set():
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    start = time.monotonic()
+    deadline = start + budget_s
+    wait = 5.0
+    while time.monotonic() < deadline:
+        if ok.wait(min(wait, max(0.1, deadline - time.monotonic()))):
             return
         print(
-            f"bench preflight: device did not respond within {timeout_s:.0f}s "
-            f"(attempt {attempt}/{attempts})",
+            f"bench preflight: device not ready after "
+            f"{time.monotonic() - start:.0f}s (budget {budget_s:.0f}s)",
             file=sys.stderr,
         )
         sys.stderr.flush()
-        if attempt < attempts:
-            time.sleep(min(30.0 * attempt, 90.0))
+        if not t.is_alive():  # probe died (e.g. transient drop): restart
+            t = threading.Thread(target=probe, daemon=True)
+            t.start()
+        wait = min(wait * 2.0, 120.0)
     import os
 
     print("bench preflight failed: device unreachable; giving up", file=sys.stderr)

@@ -97,18 +97,46 @@ def scan_cells_pallas2(params, xs, state0, ks, o, w_valid, dtype_str, unroll,
     return final
 
 
+def _pack_state(state):
+    """Merge each carry's minor (wp, C) dims into one lane axis for the
+    residual stack: TPU tiling pads the minor-most dim to 128 lanes, so a
+    stacked (T, B, H, wp, C) f32 carry with C=16 allocates (and WRITES) 8x
+    its data — measured 2.93 GiB per stack for 375 MiB of payload at the
+    canonical year-campaign shapes, an HBM OOM.  (B, H, wp*C) is exactly
+    lane-aligned (wp is a multiple of 8, C >= 16 on every layer... and any
+    remainder still beats the per-channel pad)."""
+    return [(h.reshape(*h.shape[:2], -1), c.reshape(*c.shape[:2], -1))
+            for h, c in state]
+
+
+def _unpack_state(state, shapes):
+    """Inverse of _pack_state; ``shapes`` = per-layer (wp, C)."""
+    return [
+        (h.reshape(*h.shape[:2], *s), c.reshape(*c.shape[:2], *s))
+        for (h, c), s in zip(state, shapes)
+    ]
+
+
 def _scan_fwd(params, xs, state0, ks, o, w_valid, dtype_str, unroll,
               bwd_impl="fused"):
     dt = jnp.dtype(dtype_str)
 
     # stack each step's INPUT carry (f32) as we go — the same storage
     # XLA's scan autodiff keeps for a rematerialized step body, and it
-    # saves the backward a full forward replay
-    def rec(carry, x_t):
-        new, _ = _cells_step(params, x_t, carry, ks, o, w_valid, dt, False)
-        return new, carry
+    # saves the backward a full forward replay.  Carries are PACKED to
+    # (B, H, wp*C) before stacking (see _pack_state), and the input
+    # frames likewise flow through the scan packed, so neither the
+    # T-length stack nor xs itself carries the 2-16x lane-padding tax.
+    T, B, H, WP, CIN = xs.shape
 
-    final, state_stack = jax.lax.scan(rec, state0, xs, unroll=unroll)
+    def rec(carry, x_tp):
+        x_t = x_tp.reshape(B, H, WP, CIN)
+        new, _ = _cells_step(params, x_t, carry, ks, o, w_valid, dt, False)
+        return new, _pack_state(carry)
+
+    final, state_stack = jax.lax.scan(
+        rec, state0, xs.reshape(T, B, H, WP * CIN), unroll=unroll
+    )
     return final, (params, xs, state0, state_stack, final)
 
 
@@ -160,26 +188,34 @@ def _scan_bwd_fused(ks, o, w_valid, dt, unroll, params, xs, state_stack,
     """Reverse scan with the fused Pallas backward kernels.  Layer l>0's
     forward input at step t is layer l-1's carry h at step t+1 — available
     as the PREVIOUS reverse iteration's state_in, carried through the scan
-    (seeded with the final carry).  No forward replay, no emitted gates."""
+    (seeded with the final carry).  No forward replay, no emitted gates.
+    The stored stacks flow in PACKED (see _pack_state) and are unpacked
+    per step; dxs is emitted packed and reshaped once at the end."""
+    T, B, H, WP, CIN = xs.shape
+    shapes = [(h.shape[-2], h.shape[-1]) for h, _ in final]
 
     def back(carry, inp):
         d_state, d_params, state_next = carry
-        x_t, state_in = inp
+        x_tp, state_in_p = inp
+        x_t = x_tp.reshape(B, H, WP, CIN)
+        state_in = _unpack_state(state_in_p, shapes)
         new_d, dx_t, cells_g = _cells_bwd_step(
             params, x_t, state_in, state_next, d_state, d_params["cells"],
             ks, o, w_valid, dt,
         )
         d_params = dict(d_params, cells=cells_g)
-        return (new_d, d_params, state_in), dx_t.astype(xs.dtype)
+        return (new_d, d_params, state_in), dx_t.astype(xs.dtype).reshape(
+            B, H, WP * CIN
+        )
 
     (d_state0, d_params, _), dxs = jax.lax.scan(
         back,
         (d_final, zero_pgrads, [tuple(s) for s in final]),
-        (xs, state_stack),
+        (xs.reshape(T, B, H, WP * CIN), state_stack),
         reverse=True,
         unroll=unroll,
     )
-    return d_params, dxs, d_state0
+    return d_params, dxs.reshape(T, B, H, WP, CIN), d_state0
 
 
 def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, res,
@@ -206,9 +242,14 @@ def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, res,
         raise ValueError(f"bwd_impl must be 'fused' or 'xla', got "
                          f"{bwd_impl!r}")
 
+    T, B, H, WP, CIN = xs.shape
+    shapes = [(h.shape[-2], h.shape[-1]) for h, _ in final]
+
     def back(carry, inp):
         d_state, d_params = carry
-        x_t, state_in = inp
+        x_tp, state_in_p = inp
+        x_t = x_tp.reshape(B, H, WP, CIN)
+        state_in = _unpack_state(state_in_p, shapes)
         # rebuild this step's transient quantities with the fused kernel
         _, recs = _cells_step(
             params, x_t, state_in, ks, o, w_valid, dt, True
@@ -245,13 +286,14 @@ def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, res,
                 dxs_t = din.astype(xs.dtype)
             new_d[li] = (dh_in.astype(jnp.float32), dc_prev)
         d_params = dict(d_params, cells=cells_g)
-        return (new_d, d_params), dxs_t
+        return (new_d, d_params), dxs_t.reshape(B, H, WP * CIN)
 
     (d_state0, d_params), dxs = jax.lax.scan(
-        back, (d_final, zero_pgrads), (xs, state_stack),
+        back, (d_final, zero_pgrads),
+        (xs.reshape(T, B, H, WP * CIN), state_stack),
         reverse=True, unroll=unroll,
     )
-    return d_params, dxs, d_state0
+    return d_params, dxs.reshape(T, B, H, WP, CIN), d_state0
 
 
 scan_cells_pallas2.defvjp(_scan_fwd, _scan_bwd)

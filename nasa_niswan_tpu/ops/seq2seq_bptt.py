@@ -37,7 +37,12 @@ import jax.numpy as jnp
 
 from nasa_niswan_tpu.core.padding import crop_to_grid, pad_geo
 from nasa_niswan_tpu.ops.conv import conv2d
-from nasa_niswan_tpu.ops.convlstm_bptt import _cells_bwd_step, _cells_step
+from nasa_niswan_tpu.ops.convlstm_bptt import (
+    _cells_bwd_step,
+    _cells_step,
+    _pack_state,
+    _unpack_state,
+)
 from nasa_niswan_tpu.ops.convlstm_pallas2 import pad_cols
 from nasa_niswan_tpu.ops.vma import vary_like
 
@@ -117,7 +122,10 @@ def _s2s_fwd(params, xs, prev0n, ysn, draws_f, state0,
         )
         sel = d_t[:, None, None]
         fb_next = sel * y_t + (1.0 - sel) * pred
-        return (new_state, fb_next), (pred, state)
+        # carries are packed to (B, H, wp*C) before stacking — the TPU
+        # lane-padding tax on a stacked (T, ..., C<=64) carry is 2-8x
+        # (see convlstm_bptt._pack_state)
+        return (new_state, fb_next), (pred, _pack_state(state))
 
     (final, _), (preds, state_stack) = jax.lax.scan(
         step, (state0, prev0n), (xs, ysn, draws_f), unroll=unroll
@@ -153,9 +161,14 @@ def _s2s_bwd(ks, o, w_valid, dtype_str, padded_shape, grid_shape, unroll,
     # scan-carry typing — mark like the data)
     d_fb_T = vary_like(jnp.zeros_like(prev0n), xs)
 
+    T, B, H, WP, CF = xs.shape
+    shapes = [(h.shape[-2], h.shape[-1]) for h, _ in final]
+
     def back(carry, inp):
         d_state, d_fb_next, d_params, state_next = carry
-        x_t, state_in, fb_t, y_t, pred_t, d_t, d_pred_ext = inp
+        x_tp, state_in_p, fb_t, y_t, pred_t, d_t, d_pred_ext = inp
+        x_t = x_tp.reshape(B, H, WP, CF)
+        state_in = _unpack_state(state_in_p, shapes)
 
         # blend adjoint: fb_{t+1} = d_t * y_t + (1 - d_t) * pred_t
         sel_t = d_t[:, None, None]
@@ -195,16 +208,20 @@ def _s2s_bwd(ks, o, w_valid, dtype_str, padded_shape, grid_shape, unroll,
             head={"w": head_g["w"] + dhw.astype(head_g["w"].dtype),
                   "b": head_g["b"] + dhb.astype(head_g["b"].dtype)},
         )
-        return (new_d, d_fb_t, d_params, state_in), (d_x_t, d_y_t, d_draw_t)
+        return (new_d, d_fb_t, d_params, state_in), (
+            d_x_t.reshape(B, H, WP * CF), d_y_t, d_draw_t
+        )
 
     (d_state0, d_prev0, d_params, _), (d_xs, d_ysn, d_draws) = jax.lax.scan(
         back,
         (d_final, d_fb_T, zero_pgrads, [tuple(s) for s in final]),
-        (xs, state_stack, fb_seq, ysn, preds, draws_f, d_preds),
+        (xs.reshape(T, B, H, WP * CF), state_stack, fb_seq, ysn, preds,
+         draws_f, d_preds),
         reverse=True,
         unroll=unroll,
     )
-    return d_params, d_xs, d_prev0, d_ysn, d_draws, d_state0
+    return d_params, d_xs.reshape(T, B, H, WP, CF), d_prev0, d_ysn, \
+        d_draws, d_state0
 
 
 scan_seq2seq_pallas2.defvjp(_s2s_fwd, _s2s_bwd)

@@ -75,9 +75,15 @@ def make_seq2seq_train_step(
     padded_shape: Tuple[int, int],
     grid_shape: Tuple[int, int],
     mesh=None,
+    external_draws: bool = False,
 ):
     """Returns jitted ``step(params, opt_state, x, prev0, y, rng,
     teacher_prob) -> (params, opt_state, metrics)``.
+
+    ``external_draws=True`` swaps the ``rng`` argument for a precomputed
+    (T, B) Bernoulli matrix — the seam that lets an external replica (the
+    torch trajectory-parity oracle, tests/test_train_parity.py) consume
+    the SAME scheduled-sampling choices step for step.
 
     x: raw (B, T, C-1, H, W) forcings (5 surface channels, or the fused
     3*levels+2 stack of config #2); prev0: raw (B, H, W) concentration at
@@ -96,6 +102,7 @@ def make_seq2seq_train_step(
     forward_chunk = _make_forward_chunk(
         config, normalizer, padded_shape=padded_shape,
         grid_shape=grid_shape, auto_mode="train",
+        external_draws=external_draws,
     )
 
     def train_step(params, opt_state, x, prev0, y, rng, teacher_prob):

@@ -56,12 +56,43 @@ def render(entries) -> str:
     )
 
 
+def newest_bench() -> str | None:
+    """Newest driver bench artifact (``BENCH_r*.json`` with a valid
+    ``parsed.value``) by round number, or None if none exists."""
+    import glob
+
+    best = None
+    for path in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            float(parsed["value"])
+        except (OSError, ValueError, KeyError, TypeError):
+            continue  # failed bench round (e.g. rc=134): not a measurement
+        if best is None or int(m.group(1)) > best[0]:
+            best = (int(m.group(1)), os.path.basename(path))
+    return best[1] if best else None
+
+
 def check_provenance(entries) -> list:
     errors = []
+    fresh_bench = newest_bench()
     for e in entries:
         prov = e.get("provenance")
         if not prov:
             continue
+        # freshness: a pin to a driver bench must name the NEWEST valid
+        # BENCH_r*.json — a stale pin otherwise passes CI forever
+        # (round-4 verdict weak #3: r03 stayed pinned after r04 landed)
+        if re.match(r"BENCH_r\d+\.json$", prov["file"]) and fresh_bench \
+                and prov["file"] != fresh_bench:
+            errors.append(
+                f"{e['key']}: pinned to {prov['file']} but {fresh_bench} "
+                f"is newer — re-pin (and re-quote) to the fresh measurement"
+            )
         path = os.path.join(ROOT, prov["file"])
         try:
             with open(path) as f:

@@ -22,3 +22,33 @@ def test_headline_blocks_consistent():
         capture_output=True, text=True,
     )
     assert proc.returncode == 0, proc.stderr
+
+
+def test_stale_bench_pin_fails():
+    """A pin to an older BENCH_r*.json than the newest valid one must
+    fail --check (round-4 verdict weak #3: a stale pin passed forever)."""
+    sys.path.insert(0, str(ROOT / "scripts"))
+    import gen_headlines as gh
+
+    fresh = gh.newest_bench()
+    assert fresh is not None  # driver benches are committed
+    # the committed headline must pin the newest bench...
+    import json
+
+    entries = json.loads((ROOT / "docs" / "headlines.json").read_text())[
+        "entries"]
+    bench_pins = [e for e in entries
+                  if e.get("provenance", {}).get("file", "").startswith(
+                      "BENCH_r")]
+    assert bench_pins, "north-star entry should pin a driver bench"
+    assert all(e["provenance"]["file"] == fresh for e in bench_pins)
+    # ...and the checker flags a synthetic stale pin
+    stale = [{
+        "key": "k", "label": "l", "value": "**1** x",
+        "source": "s",
+        "provenance": {"file": "BENCH_r01.json", "path": ["parsed", "value"],
+                       "display": "1"},
+    }]
+    if fresh != "BENCH_r01.json":
+        errs = gh.check_provenance(stale)
+        assert any("re-pin" in e for e in errs), errs

@@ -137,6 +137,152 @@ def fixture_ds():
     return SequenceDataset(data, period="train", sequence_length=4, species="bcb")
 
 
+def torch_pad_geo(t, target_shape):
+    """Differentiable torch mirror of core/padding.pad_geo (cyclic lon,
+    pole-excluding reflective lat) — the feedback prediction flows through
+    this pad inside the BPTT graph, so it cannot round-trip through numpy."""
+    th, tw = target_shape
+    w = t.shape[-1]
+    pl = (tw - w) // 2
+    pr = tw - w - pl
+    parts = ([t[..., w - pl:]] if pl else []) + [t] + ([t[..., :pr]] if pr else [])
+    t = torch.cat(parts, dim=-1) if len(parts) > 1 else t
+    h = t.shape[-2]
+    pt = (th - h) // 2
+    pb = th - h - pt
+    parts = []
+    if pt:
+        parts.append(torch.flip(t[..., 1 : 1 + pt, :], dims=[-2]))
+    parts.append(t)
+    if pb:
+        parts.append(torch.flip(t[..., h - 1 - pb : h - 1, :], dims=[-2]))
+    return torch.cat(parts, dim=-2) if len(parts) > 1 else t
+
+
+def test_seq2seq_scheduled_sampling_trajectory_matches_torch():
+    """Config #3 trajectory parity: the chunked closed-loop scheduled-
+    sampling train step (rollout/seq2seq.py) vs an independent torch replica
+    of the reference's feedback-substitution semantics — per-step X6
+    replacement with the model's own prediction (test.ipynb cell 8,
+    ``X[:, -1] = pred``) composed with the train loop (train.py:82-124):
+    MSE+L1 on the crop, Adam(0.5, 0.999), per-(t, sample) Bernoulli
+    teacher/feedback choice.  Both sides consume the SAME Bernoulli matrix
+    through the ``external_draws`` seam (rollout/seq2seq.py), so every
+    scheduled-sampling decision — and the gradient flowing through the
+    feedback path — must coincide step for step.
+
+    45 optimizer steps across three teacher_prob regimes (0.8/0.5/0.2, so
+    both branches of the substitution are exercised heavily), then
+    end-of-run parameter slices.  Measured tolerance: per-chunk losses
+    track to ~1e-6 relative early, f32 conv-backward reduction-order noise
+    compounds through the feedback recursion + Adam to ~1e-4 by step 45;
+    rtol 2e-3 gives a ~20x margin while still catching any semantic drift
+    (wrong branch, off-by-one feedback step, crop/pad drift) within a step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nasa_niswan_tpu.data.dataset import Seq2SeqDataset
+    from nasa_niswan_tpu.rollout.seq2seq import make_seq2seq_train_step
+
+    data = synthetic_e33oma_90d(T=200, H=16, W=24, seed=11)
+    ds = Seq2SeqDataset(data, period="train", sequence_length=5)
+    padded, grid = (20, 28), (16, 24)
+    T, B = 5, 2
+
+    cells, head, jparams, cfg = make_lstm_pair(in_ch=6, hiddens=(4, 3), ks=(3, 3))
+    norm = ds.normalizer
+
+    # shared batch + draw schedule: 3 regimes x 15 steps
+    regimes = [0.8, 0.5, 0.2]
+    rng = np.random.default_rng(3)
+    schedule = []  # (x, prev0, y, draws(T,B) bool, teacher_prob)
+    for tp in regimes:
+        for _ in range(15):
+            idx = rng.integers(0, len(ds), size=B)
+            xs, p0s, ys = zip(*(ds[int(i)] for i in idx))
+            draws = rng.random((T, B)) < tp
+            schedule.append(
+                (np.stack(xs), np.stack(p0s), np.stack(ys), draws, tp)
+            )
+
+    # --- jax trajectory through the production step (external draws seam)
+    optimizer = make_optimizer(LR, BETAS)
+    opt_state = optimizer.init(jparams)
+    step = make_seq2seq_train_step(
+        cfg, norm, optimizer, padded_shape=padded, grid_shape=grid,
+        external_draws=True,
+    )
+    params = jparams
+    jlosses = []
+    for x, p0, y, draws, tp in schedule:
+        params, opt_state, m = step(
+            params, opt_state, x, p0, y, jnp.asarray(draws), tp
+        )
+        jlosses.append(float(m["loss"]))
+
+    # --- torch replica of the reference's closed-loop chunk semantics
+    tparams = [p for c in cells for p in c.conv.parameters()] + list(
+        head.parameters()
+    )
+    opt = torch.optim.Adam(tparams, lr=LR, betas=BETAS)
+    xm = norm.x_mean.reshape(-1, 1, 1)
+    xs_ = norm.x_std.reshape(-1, 1, 1)
+    tlosses = []
+    for x, p0, y, draws, tp in schedule:
+        xn = torch.from_numpy(((x - xm) / xs_).astype(np.float32))
+        yn = torch.from_numpy(
+            ((y - norm.y_mean) / norm.y_std).astype(np.float32)
+        )
+        prev = torch.from_numpy(
+            ((p0 - norm.y_mean) / norm.y_std).astype(np.float32)
+        )
+        x_pad = torch_pad_geo(xn, padded)  # (B, T, 5, H, W)
+        use_teacher = torch.from_numpy(draws)
+        states = [
+            (
+                torch.zeros(B, c.hidden, *padded),
+                torch.zeros(B, c.hidden, *padded),
+            )
+            for c in cells
+        ]
+        step_losses = []
+        for t in range(T):
+            fb = torch_pad_geo(prev, padded)  # (B, H, W), in the BPTT graph
+            inp = torch.cat([x_pad[:, t], fb[:, None]], dim=1)
+            for li, cell in enumerate(cells):
+                h, c = states[li]
+                h, c = cell(inp, h, c)
+                states[li] = (h, c)
+                inp = h
+            pred = center_crop(head(states[-1][0])[:, 0], grid)
+            y_t = yn[:, t]
+            step_losses.append(
+                nn.MSELoss()(pred, y_t) + nn.L1Loss()(pred, y_t)
+            )
+            prev = torch.where(use_teacher[t][:, None, None], y_t, pred)
+        loss = torch.stack(step_losses).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        tlosses.append(float(loss.detach()))
+
+    assert len(jlosses) == 45
+    np.testing.assert_allclose(jlosses, tlosses, rtol=2e-3, atol=1e-6)
+    # the early steps must be essentially exact (semantic drift is loud)
+    np.testing.assert_allclose(jlosses[:6], tlosses[:6], rtol=3e-5, atol=1e-7)
+    # end-of-run parameter slices: same trajectory, not just same losses
+    want_wx = cells[0].conv.weight.detach().numpy()[:, :6].transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(params["cells"][0]["w_x"]), want_wx, rtol=5e-3, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["w"]),
+        head.weight.detach().numpy().transpose(2, 3, 1, 0),
+        rtol=5e-3, atol=5e-5,
+    )
+
+
 def test_convlstm_training_trajectory_matches_torch(fixture_ds):
     """3 epochs x 20 steps = 60 optimizer steps of per-step loss parity,
     through an epoch-stepped lr schedule, from identical ConvLSTM weights."""
