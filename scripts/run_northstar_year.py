@@ -62,6 +62,7 @@ def main():
         y_mean=0.0, y_std=1.0,
     )
     rollout = make_rollout_fn(cfg, norm, padded_shape=PADDED, grid_shape=GRID)
+    o2 = col_margin(cfg.kernel_sizes)
 
     rng = np.random.default_rng(0)
     t0 = time.time()
@@ -69,16 +70,29 @@ def main():
         rng.standard_normal((1, args.block, C, *GRID)).astype(np.float32)
     )
     jax.block_until_ready(block)
-    print(f"resident 30-day forcing block uploaded: {time.time()-t0:.0f}s",
+    up_s = time.time() - t0
+    up_mb = block.size * 4 / 1e6
+    print(f"resident 30-day forcing block uploaded: {up_s:.0f}s "
+          f"({up_mb / up_s:.0f} MB/s host->device incl. host RNG)",
           flush=True)
 
     # slice the resident block INSIDE the jitted call: an eager
     # block[:, s:s+n] is its own dispatch + a chunk-sized device copy per
-    # chunk, which through the tunnel costs more than the compute
+    # chunk, which through the tunnel costs more than the compute.
+    # The monthly carry-health metric (h1 RMS) is computed ON DEVICE and
+    # returned as a scalar: fetching the raw (1, 100, wp, 64) h1 instead
+    # was a ~4 MB D2H through the ~35-50 MB/s dev link that also DRAINED
+    # the dispatch queue — 13 of those cost ~40% of the year's serving
+    # wall (2,231 days/min in round 4 vs the 4,381 chain rate).
     @jax.jit
     def serve(params, block, start, state):
         chunk = jax.lax.dynamic_slice_in_dim(block, start, args.chunk, axis=1)
-        return rollout(params, chunk, state)
+        preds, new_state = rollout(params, chunk, state)
+        h1 = new_state[0][0]
+        if h1.shape[-2] != PADDED[1]:  # crop the margin columns (static)
+            h1 = h1[..., o2 : o2 + PADDED[1], :]
+        h1_rms = jnp.sqrt(jnp.mean(jnp.square(h1)))
+        return preds, new_state, h1_rms
 
     # warm/compile
     zero_state = [
@@ -88,26 +102,23 @@ def main():
         )
         for hc in cfg.hidden_channels
     ]
-    p, st = serve(params, block, 0, zero_state)
+    p, st, _ = serve(params, block, 0, zero_state)
     np.asarray(p[0, -1])
 
-    o2 = col_margin(cfg.kernel_sizes)
     state = zero_state
-    monthly_h_rms = []
+    monthly_h_rms = []  # device scalars; fetched once AFTER the year
     done = 0
     t_serve = time.time()
     while done < args.steps:
         s = done % args.block
         n = min(args.chunk, args.block - s, args.steps - done)
-        p, state = serve(params, block, s, state)
+        p, state, h_rms = serve(params, block, s, state)
         done += n
         if done % 1440 < args.chunk:  # once a month
-            h1 = np.asarray(state[0][0], np.float32)
-            if h1.shape[-2] != PADDED[1]:
-                h1 = h1[..., o2 : o2 + PADDED[1], :]
-            monthly_h_rms.append(round(float(np.sqrt((h1**2).mean())), 5))
+            monthly_h_rms.append(h_rms)  # keep on device; NO queue drain
     np.asarray(p[0, -1])  # final sync
     elapsed = time.time() - t_serve
+    monthly_h_rms = [round(float(np.asarray(v)), 5) for v in monthly_h_rms]
 
     value = model_days_per_min(done, elapsed)
     result = {
