@@ -82,7 +82,14 @@ class ConvLSTMConfig:
     # kernel) | "auto" (trace-time resolution: pallas2 at B<=4 on TPU —
     # where it measures 1.4x faster for serving AND training — else xla)
     scan_unroll: int = 1  # lax.scan unroll factor: amortizes per-step scan
-    # machinery over several steps at the cost of a larger program
+    # machinery over several steps at the cost of a larger program.
+    # Serving keeps 1 (unroll 2/4/8 all measured SLOWER for the rollout
+    # scan — the floor there is MXU work, docs/PERFORMANCE.md).
+    train_scan_unroll: int = 2  # unroll for the whole-scan-BPTT TRAINING
+    # scans (fwd-with-stacking + reverse): these carry per-step stack
+    # slicing/update machinery the serving scan doesn't, and unroll=2
+    # measured 606 -> 553 ms/step (+9.6%) at canonical bs=8 shapes
+    # (unroll=4: 559 — no further gain)
     remat: bool = False  # rematerialize scan steps in the backward pass
     # (trade FLOPs for activation memory: O(1) stored activations per step
     # instead of every cell intermediate — enables long-T / 20-level
@@ -321,7 +328,7 @@ def convlstm_apply(
             o2,
             w_valid,
             config.compute_dtype,
-            config.scan_unroll,
+            config.train_scan_unroll,
             config.bptt_bwd,
         )
         return _finish(

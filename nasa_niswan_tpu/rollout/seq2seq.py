@@ -298,7 +298,7 @@ def _make_forward_chunk(
             _, preds = scan_seq2seq_pallas2(
                 params, xs_m, prev0n, ys, draws.astype(jnp.float32), state0,
                 tuple(config.kernel_sizes), o2, W, config.compute_dtype,
-                padded_shape, grid_shape, config.scan_unroll,
+                padded_shape, grid_shape, config.train_scan_unroll,
             )
             err = ys - preds
             # identical to the per-step mean-of-means below (equal-size steps)

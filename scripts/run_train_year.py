@@ -298,6 +298,12 @@ def main():
         "steady_days_per_min": round(
             float(np.mean([e["days_per_min"] for e in steady])), 1
         ),
+        # robust to one-off dev-tunnel stalls (a single wedged epoch was
+        # measured at 282 s vs the 18.5 s norm); the mean is kept above
+        # for honesty, the median is the sustained rate
+        "steady_days_per_min_median": round(
+            float(np.median([e["days_per_min"] for e in steady])), 1
+        ),
         "final_train_loss": epochs_log[-1]["train_loss"],
         "final_val_r2": epochs_log[-1]["val_r2"],
         "epochs_log": epochs_log,
