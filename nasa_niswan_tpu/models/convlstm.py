@@ -97,6 +97,15 @@ class ConvLSTMConfig:
     bptt_bwd: str = "fused"  # pallas2+remat BPTT backward: "fused" (Pallas
     # backward kernels, no forward replay — ops/convgrad_pallas.py) |
     # "xla" (emit-gates replay + XLA conv grads, the round-2 strategy)
+    bptt_fwd: str = "auto"  # cell body of the whole-scan-BPTT FORWARD
+    # scans: "fused" (Pallas kernel) | "xla" (_cell_reference_v2 — same
+    # margin-masked contract via XLA's batched convs) | "auto" (xla on
+    # TPU — measured faster at EVERY canonical training batch, B=2/4/8:
+    # 113.9/251.7/520.8 vs 119.9/262.5/553.8 ms/step; the training fwd
+    # scan also streams the packed residual stacks, which XLA fuses into
+    # the conv epilogue better than the kernel's margin-layout stores —
+    # else fused, preserving kernel coverage on the CPU suite).  The
+    # fused BACKWARD kernels run either way.
     # Retired knobs (round 4): split_xh, fuse_tail, and the batch-block
     # fold all measured neutral-to-negative on hardware and were removed —
     # see docs/PERFORMANCE.md "Retired variants" for the measurements.
@@ -107,6 +116,9 @@ class ConvLSTMConfig:
         if self.bptt_bwd not in ("fused", "xla"):
             raise ValueError(f"bptt_bwd must be 'fused' or 'xla', got "
                              f"{self.bptt_bwd!r}")
+        if self.bptt_fwd not in ("auto", "fused", "xla"):
+            raise ValueError(f"bptt_fwd must be 'auto', 'fused' or 'xla', "
+                             f"got {self.bptt_fwd!r}")
 
     @property
     def num_layers(self) -> int:
@@ -319,6 +331,9 @@ def convlstm_apply(
         # selects the emit-gates-replay fallback).
         from nasa_niswan_tpu.ops.convlstm_bptt import scan_cells_pallas2
 
+        bptt_fwd = config.bptt_fwd
+        if bptt_fwd == "auto":
+            bptt_fwd = "xla" if jax.default_backend() == "tpu" else "fused"
         xs_cat = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
         final_state = scan_cells_pallas2(
             params,
@@ -330,6 +345,7 @@ def convlstm_apply(
             config.compute_dtype,
             config.train_scan_unroll,
             config.bptt_bwd,
+            bptt_fwd,
         )
         return _finish(
             final_state, None, params, config, compute_dtype,

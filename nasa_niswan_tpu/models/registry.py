@@ -70,6 +70,7 @@ def build_model(
     pix2pix_features: int = 64,
     remat: bool = True,
     bptt_bwd: str = "fused",
+    bptt_fwd: str = "auto",
 ) -> ModelBundle:
     """remat defaults True: training the canonical config (bs 8, T=48,
     100x154) OOMs a 16 GB chip without per-step rematerialization, and the
@@ -79,7 +80,7 @@ def build_model(
         kernel_sizes=kernel_sizes, compute_dtype=compute_dtype,
         cell_impl=cell_impl, precompute_input_conv=precompute_input_conv,
         unet_features=unet_features, pix2pix_features=pix2pix_features,
-        remat=remat, bptt_bwd=bptt_bwd,
+        remat=remat, bptt_bwd=bptt_bwd, bptt_fwd=bptt_fwd,
     )
 
     def _rebuild(**overrides):
@@ -96,6 +97,7 @@ def build_model(
             cell_impl=cell_impl,
             remat=remat,
             bptt_bwd=bptt_bwd,
+            bptt_fwd=bptt_fwd,
         )
 
         def init(rng):

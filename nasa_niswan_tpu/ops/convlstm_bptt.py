@@ -52,12 +52,23 @@ from nasa_niswan_tpu.ops.convlstm_pallas2 import (
 from nasa_niswan_tpu.ops.vma import vary_like
 
 
-def _cells_step(params, x_t, state, ks, o, w_valid, dt, emit: bool):
+def _cells_step(params, x_t, state, ks, o, w_valid, dt, emit: bool,
+                impl: str = "fused"):
     """One timestep through all layers (padded-column layout).
 
     Returns (new_state, recs) where recs[l] = (layer input, gates) when
     ``emit`` (the transient quantities the backward needs), else [].
+
+    ``impl`` picks the cell body: "fused" (the Pallas kernel) or "xla"
+    (``_cell_reference_v2`` — identical margin-masked contract through
+    XLA's batched convs; at large batch XLA's convs are more
+    MXU-efficient than the per-(batch, row-tile) kernel grid, so the
+    training forward scan can choose per measured batch size while the
+    fused BACKWARD kernels stay either way).
     """
+    from nasa_niswan_tpu.ops.convlstm_pallas2 import _cell_reference_v2
+
+    cell_fn = fused_cell_forward_v2 if impl == "fused" else _cell_reference_v2
     inp = x_t
     new_state, recs = [], []
     for li, k in enumerate(ks):
@@ -65,7 +76,7 @@ def _cells_step(params, x_t, state, ks, o, w_valid, dt, emit: bool):
         h, c = state[li]
         w = jnp.concatenate([cell["w_x"], cell["w_h"]], axis=2).astype(dt)
         xh = jnp.concatenate([inp.astype(dt), h.astype(dt)], axis=-1)
-        out = fused_cell_forward_v2(
+        out = cell_fn(
             xh, c, w, cell["b"].astype(jnp.float32), k, o, w_valid,
             emit_gates=emit,
         )
@@ -76,21 +87,24 @@ def _cells_step(params, x_t, state, ks, o, w_valid, dt, emit: bool):
     return new_state, recs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def scan_cells_pallas2(params, xs, state0, ks, o, w_valid, dtype_str, unroll,
-                       bwd_impl="fused"):
+                       bwd_impl="fused", fwd_impl="fused"):
     """Forward scan over time through the fused cells; returns the final
     per-layer (h, c) carry (f32, padded-column layout).
 
     xs: (T, B, H, wp, C) compute-dtype frames in the margin layout;
     state0: per-layer [(h, c)] f32.  ks/o/w_valid/dtype_str/unroll/
-    bwd_impl are static (hashable); bwd_impl: "fused" (Pallas backward
-    kernels) | "xla" (emit-gates replay + XLA conv grads).
+    bwd_impl/fwd_impl are static (hashable); bwd_impl: "fused" (Pallas
+    backward kernels) | "xla" (emit-gates replay + XLA conv grads);
+    fwd_impl: "fused" | "xla" — which cell body runs the forward scans
+    (see _cells_step; the backward kernels are unaffected).
     """
     dt = jnp.dtype(dtype_str)
 
     def step(carry, x_t):
-        new, _ = _cells_step(params, x_t, carry, ks, o, w_valid, dt, False)
+        new, _ = _cells_step(params, x_t, carry, ks, o, w_valid, dt, False,
+                             fwd_impl)
         return new, None
 
     final, _ = jax.lax.scan(step, state0, xs, unroll=unroll)
@@ -118,7 +132,7 @@ def _unpack_state(state, shapes):
 
 
 def _scan_fwd(params, xs, state0, ks, o, w_valid, dtype_str, unroll,
-              bwd_impl="fused"):
+              bwd_impl="fused", fwd_impl="fused"):
     dt = jnp.dtype(dtype_str)
 
     # stack each step's INPUT carry (f32) as we go — the same storage
@@ -131,7 +145,8 @@ def _scan_fwd(params, xs, state0, ks, o, w_valid, dtype_str, unroll,
 
     def rec(carry, x_tp):
         x_t = x_tp.reshape(B, H, WP, CIN)
-        new, _ = _cells_step(params, x_t, carry, ks, o, w_valid, dt, False)
+        new, _ = _cells_step(params, x_t, carry, ks, o, w_valid, dt, False,
+                             fwd_impl)
         return new, _pack_state(carry)
 
     final, state_stack = jax.lax.scan(
@@ -218,7 +233,7 @@ def _scan_bwd_fused(ks, o, w_valid, dt, unroll, params, xs, state_stack,
     return d_params, dxs.reshape(T, B, H, WP, CIN), d_state0
 
 
-def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, res,
+def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, fwd_impl, res,
               d_final):
     params, xs, state0, state_stack, final = res
     dt = jnp.dtype(dtype_str)
@@ -250,9 +265,9 @@ def _scan_bwd(ks, o, w_valid, dtype_str, unroll, bwd_impl, res,
         x_tp, state_in_p = inp
         x_t = x_tp.reshape(B, H, WP, CIN)
         state_in = _unpack_state(state_in_p, shapes)
-        # rebuild this step's transient quantities with the fused kernel
+        # rebuild this step's transient quantities (same impl as forward)
         _, recs = _cells_step(
-            params, x_t, state_in, ks, o, w_valid, dt, True
+            params, x_t, state_in, ks, o, w_valid, dt, True, fwd_impl
         )
         d_state = [list(s) for s in d_state]
         new_d = [None] * L

@@ -62,10 +62,11 @@ def _pred_from_h(h_last, head_w, head_b, o, w_valid, grid_shape, dt):
     return crop_to_grid(p.astype(jnp.float32)[..., 0], grid_shape)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def scan_seq2seq_pallas2(params, xs, prev0n, ysn, draws_f, state0,
                          ks, o, w_valid, dtype_str, padded_shape,
-                         grid_shape, unroll):
+                         grid_shape, unroll, fwd_impl="fused"):
     """Feedback chunk through the fused cells; returns (final_state,
     preds (T, B, h, w) normalized f32).
 
@@ -84,7 +85,7 @@ def scan_seq2seq_pallas2(params, xs, prev0n, ysn, draws_f, state0,
             axis=-1,
         )
         new_state, _ = _cells_step(params, frame, state, ks, o, w_valid,
-                                   dt, False)
+                                   dt, False, fwd_impl)
         pred = _pred_from_h(
             new_state[-1][0], params["head"]["w"], params["head"]["b"],
             o, w_valid, grid_shape, dt,
@@ -104,7 +105,8 @@ def wp_of(xs):
 
 
 def _s2s_fwd(params, xs, prev0n, ysn, draws_f, state0,
-             ks, o, w_valid, dtype_str, padded_shape, grid_shape, unroll):
+             ks, o, w_valid, dtype_str, padded_shape, grid_shape, unroll,
+             fwd_impl="fused"):
     dt = jnp.dtype(dtype_str)
 
     def step(carry, inp):
@@ -115,7 +117,7 @@ def _s2s_fwd(params, xs, prev0n, ysn, draws_f, state0,
             axis=-1,
         )
         new_state, _ = _cells_step(params, frame, state, ks, o, w_valid,
-                                   dt, False)
+                                   dt, False, fwd_impl)
         pred = _pred_from_h(
             new_state[-1][0], params["head"]["w"], params["head"]["b"],
             o, w_valid, grid_shape, dt,
@@ -135,7 +137,7 @@ def _s2s_fwd(params, xs, prev0n, ysn, draws_f, state0,
 
 
 def _s2s_bwd(ks, o, w_valid, dtype_str, padded_shape, grid_shape, unroll,
-             res, cotangents):
+             fwd_impl, res, cotangents):
     params, xs, prev0n, ysn, draws_f, state_stack, preds, final = res
     d_final, d_preds = cotangents
     dt = jnp.dtype(dtype_str)
