@@ -57,15 +57,35 @@ def render(entries) -> str:
 
 
 def newest_bench() -> str | None:
-    """Newest driver bench artifact (``BENCH_r*.json`` with a valid
-    ``parsed.value``) by round number, or None if none exists."""
+    """Newest COMMITTED driver bench artifact (``BENCH_r*.json`` with a
+    valid ``parsed.value``) by round number, or None if none exists.
+
+    Only git-TRACKED benches count: the driver drops the current round's
+    BENCH_r{N}.json into the working tree AFTER the round's last commit,
+    so an untracked bench is "pending re-pin" (nobody has had the chance
+    to quote it yet), not a stale pin.  The moment it is committed (the
+    next round starts from it), an un-re-pinned headline fails CI."""
     import glob
+    import subprocess
+
+    try:
+        tracked = set(
+            subprocess.run(
+                ["git", "ls-files", "BENCH_r*.json"], cwd=ROOT,
+                capture_output=True, text=True, timeout=30,
+            ).stdout.split()
+        )
+    except Exception:
+        tracked = None  # no git: consider everything (fail-closed)
 
     best = None
     for path in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
-        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+        name = os.path.basename(path)
+        m = re.match(r"BENCH_r(\d+)\.json$", name)
         if not m:
             continue
+        if tracked is not None and name not in tracked:
+            continue  # pending re-pin, see docstring
         try:
             with open(path) as f:
                 parsed = json.load(f).get("parsed") or {}
@@ -73,7 +93,7 @@ def newest_bench() -> str | None:
         except (OSError, ValueError, KeyError, TypeError):
             continue  # failed bench round (e.g. rc=134): not a measurement
         if best is None or int(m.group(1)) > best[0]:
-            best = (int(m.group(1)), os.path.basename(path))
+            best = (int(m.group(1)), name)
     return best[1] if best else None
 
 

