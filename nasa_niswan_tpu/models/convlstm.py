@@ -71,6 +71,20 @@ def resolve_auto_impl(
     return "pallas2" if B <= limit else "xla"
 
 
+def resolve_bptt_fwd(setting: str) -> str:
+    """The measured ``bptt_fwd='auto'`` policy, shared by the plain BPTT
+    call site (``convlstm_apply``) and the seq2seq chunk
+    (``rollout/seq2seq._make_forward_chunk``): on TPU the forward scan
+    runs XLA's batched convs — faster at EVERY canonical training batch
+    (B=2/4/8 full-step: 113.9/251.7/520.8 vs 119.9/262.5/553.8 ms,
+    docs/PERFORMANCE.md) because the fwd also streams the packed
+    residual stacks; elsewhere the fused kernel stays (CPU interpret
+    coverage).  Re-measure HERE if the crossover ever moves."""
+    if setting != "auto":
+        return setting
+    return "xla" if _auto_backend() == "tpu" else "fused"
+
+
 @dataclasses.dataclass(frozen=True)
 class ConvLSTMConfig:
     in_channels: int = 5
@@ -331,9 +345,6 @@ def convlstm_apply(
         # selects the emit-gates-replay fallback).
         from nasa_niswan_tpu.ops.convlstm_bptt import scan_cells_pallas2
 
-        bptt_fwd = config.bptt_fwd
-        if bptt_fwd == "auto":
-            bptt_fwd = "xla" if jax.default_backend() == "tpu" else "fused"
         xs_cat = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
         final_state = scan_cells_pallas2(
             params,
@@ -343,9 +354,12 @@ def convlstm_apply(
             o2,
             w_valid,
             config.compute_dtype,
-            config.train_scan_unroll,
+            # (primal, train): eval through the custom_vjp primal keeps
+            # the serving unroll; the differentiated scans use the
+            # training unroll (ops/convlstm_bptt._unroll_of)
+            (config.scan_unroll, config.train_scan_unroll),
             config.bptt_bwd,
-            bptt_fwd,
+            resolve_bptt_fwd(config.bptt_fwd),
         )
         return _finish(
             final_state, None, params, config, compute_dtype,

@@ -42,6 +42,7 @@ from nasa_niswan_tpu.ops.convlstm_bptt import (
     _cells_step,
     _pack_state,
     _unpack_state,
+    _unroll_of,
 )
 from nasa_niswan_tpu.ops.convlstm_pallas2 import pad_cols
 from nasa_niswan_tpu.ops.vma import vary_like
@@ -95,7 +96,8 @@ def scan_seq2seq_pallas2(params, xs, prev0n, ysn, draws_f, state0,
         return (new_state, fb_next), pred
 
     (final, _), preds = jax.lax.scan(
-        step, (state0, prev0n), (xs, ysn, draws_f), unroll=unroll
+        step, (state0, prev0n), (xs, ysn, draws_f),
+        unroll=_unroll_of(unroll, train=False),
     )
     return final, preds
 
@@ -130,7 +132,8 @@ def _s2s_fwd(params, xs, prev0n, ysn, draws_f, state0,
         return (new_state, fb_next), (pred, _pack_state(state))
 
     (final, _), (preds, state_stack) = jax.lax.scan(
-        step, (state0, prev0n), (xs, ysn, draws_f), unroll=unroll
+        step, (state0, prev0n), (xs, ysn, draws_f),
+        unroll=_unroll_of(unroll, train=True),
     )
     res = (params, xs, prev0n, ysn, draws_f, state_stack, preds, final)
     return (final, preds), res
@@ -220,7 +223,7 @@ def _s2s_bwd(ks, o, w_valid, dtype_str, padded_shape, grid_shape, unroll,
         (xs.reshape(T, B, H, WP * CF), state_stack, fb_seq, ysn, preds,
          draws_f, d_preds),
         reverse=True,
-        unroll=unroll,
+        unroll=_unroll_of(unroll, train=True),
     )
     return d_params, d_xs.reshape(T, B, H, WP, CF), d_prev0, d_ysn, \
         d_draws, d_state0

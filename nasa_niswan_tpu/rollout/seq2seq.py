@@ -295,15 +295,14 @@ def _make_forward_chunk(
                 ],
                 xs_m,
             )
-            bptt_fwd = config.bptt_fwd
-            if bptt_fwd == "auto":
-                bptt_fwd = ("xla" if jax.default_backend() == "tpu"
-                            else "fused")
+            from nasa_niswan_tpu.models.convlstm import resolve_bptt_fwd
+
             _, preds = scan_seq2seq_pallas2(
                 params, xs_m, prev0n, ys, draws.astype(jnp.float32), state0,
                 tuple(config.kernel_sizes), o2, W, config.compute_dtype,
-                padded_shape, grid_shape, config.train_scan_unroll,
-                bptt_fwd,
+                padded_shape, grid_shape,
+                (config.scan_unroll, config.train_scan_unroll),
+                resolve_bptt_fwd(config.bptt_fwd),
             )
             err = ys - preds
             # identical to the per-step mean-of-means below (equal-size steps)

@@ -69,12 +69,14 @@ def newest_bench() -> str | None:
     import subprocess
 
     try:
-        tracked = set(
-            subprocess.run(
-                ["git", "ls-files", "BENCH_r*.json"], cwd=ROOT,
-                capture_output=True, text=True, timeout=30,
-            ).stdout.split()
+        proc = subprocess.run(
+            ["git", "ls-files", "BENCH_r*.json"], cwd=ROOT,
+            capture_output=True, text=True, timeout=30,
         )
+        # a git failure (rc != 0: exported tarball, shallow checkout)
+        # must fail CLOSED — an empty 'tracked' set would silently filter
+        # every bench and disable the freshness check entirely
+        tracked = set(proc.stdout.split()) if proc.returncode == 0 else None
     except Exception:
         tracked = None  # no git: consider everything (fail-closed)
 

@@ -239,8 +239,13 @@ def main():
             metrics = train_batch(order[b * BS : (b + 1) * BS], srng)
             ep_losses.append(metrics["loss"])
             ep_r2s.append(metrics["r2"])
-        loss = float(np.mean([np.asarray(v) for v in ep_losses]))  # syncs
-        train_r2 = float(np.mean([np.asarray(v) for v in ep_r2s]))
+        # ONE device sync for the whole epoch: stack the per-batch scalars
+        # on device and fetch the two means together (a per-batch
+        # np.asarray would be n_batches blocking round trips through the
+        # tunnel inside the timed window — the same pathology the
+        # northstar-year monthly fetch had)
+        loss = float(jnp.mean(jnp.stack(ep_losses)))
+        train_r2 = float(jnp.mean(jnp.stack(ep_r2s)))
         ep_train_s = time.perf_counter() - ep_tic
 
         # StepLR semantics (train.py:71-72,120): decay every 10 epochs

@@ -113,7 +113,8 @@ def test_kill_and_resume_npz(tmp_path, control):
     for k in want:
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
 
-    # the resumed logger covers epochs 3..6 and matches the control's tail
+    # the resumed logger covers epochs 3..EPOCHS and matches the control's
+    # tail
     def _logger(snap):
         with open(os.path.join(snap, "logger.npy"), "rb") as f:
             return [np.load(f) for _ in range(3)]
