@@ -434,3 +434,54 @@ def test_bptt_fused_bwd_bf16_smoke(rng):
         assert np.isfinite(a).all()
         scale = max(np.abs(b).max(), 1e-6)
         assert np.abs(a - b).max() / scale < 0.1
+
+
+def test_bptt_fwd_xla_matches_fused(rng):
+    """The hybrid seam: bptt_fwd='xla' (the XLA cell body running the
+    whole-scan-BPTT forward) must walk the same loss/grads as the fused
+    kernel forward — the production TPU default resolves to 'xla'
+    (resolve_bptt_fwd), so this pins the two bodies to each other on the
+    CPU suite too."""
+    import dataclasses
+
+    from nasa_niswan_tpu.models.convlstm import (
+        ConvLSTMConfig,
+        convlstm_apply,
+        convlstm_init,
+        resolve_bptt_fwd,
+    )
+
+    # policy resolution: explicit settings pass through; auto resolves
+    # 'fused' off-TPU (kernel coverage) and 'xla' on TPU (measured faster)
+    assert resolve_bptt_fwd("fused") == "fused"
+    assert resolve_bptt_fwd("xla") == "xla"
+    assert resolve_bptt_fwd("auto") in ("fused", "xla")
+
+    x = jnp.asarray(rng.standard_normal((2, 4, 16, 24, 5)).astype(np.float32))
+    base = ConvLSTMConfig(5, (4, 3), (5, 3), cell_impl="pallas2", remat=True)
+    params = convlstm_init(jax.random.PRNGKey(1), base)
+
+    def loss_grads(fwd):
+        cfg = dataclasses.replace(base, bptt_fwd=fwd)
+        f = lambda p: jnp.sum(convlstm_apply(p, x, cfg) ** 2)
+        return jax.value_and_grad(f)(params)
+
+    lf, gf = loss_grads("fused")
+    lx, gx = loss_grads("xla")
+    np.testing.assert_allclose(float(lx), float(lf), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_unroll_of_split():
+    """_unroll_of: an int applies to both directions; a (primal, train)
+    pair routes the serving unroll to the primal scan and the training
+    unroll to the differentiated scans."""
+    from nasa_niswan_tpu.ops.convlstm_bptt import _unroll_of
+
+    assert _unroll_of(3, train=False) == 3
+    assert _unroll_of(3, train=True) == 3
+    assert _unroll_of((1, 2), train=False) == 1
+    assert _unroll_of((1, 2), train=True) == 2
