@@ -485,3 +485,31 @@ def test_unroll_of_split():
     assert _unroll_of(3, train=True) == 3
     assert _unroll_of((1, 2), train=False) == 1
     assert _unroll_of((1, 2), train=True) == 2
+
+
+def test_residual_stacks_are_lane_packed(rng):
+    """The BPTT residual carry stacks must stay PACKED to (T, B, H, wp*C):
+    unpacked (T, B, H, wp, C) stacks re-incur the TPU's 128-lane channel
+    padding — 2-8x the payload in HBM, which OOM'd the year campaign
+    (docs/STATUS.md round-5 §38)."""
+    from nasa_niswan_tpu.ops.convlstm_bptt import _scan_fwd
+
+    T, B, H, WP = 3, 2, 8, 16
+    ks = (3, 3)
+    hid = (4, 3)
+    from nasa_niswan_tpu.models.convlstm import ConvLSTMConfig, convlstm_init
+
+    params = convlstm_init(jax.random.PRNGKey(0), ConvLSTMConfig(5, hid, ks))
+    xs = jnp.asarray(
+        rng.standard_normal((T, B, H, WP, 5)).astype(np.float32)
+    )
+    state0 = [
+        (jnp.zeros((B, H, WP, h), jnp.float32),
+         jnp.zeros((B, H, WP, h), jnp.float32))
+        for h in hid
+    ]
+    _, res = _scan_fwd(params, xs, state0, ks, 1, WP - 2, "float32", 1)
+    state_stack = res[3]
+    for li, (hs, cs) in enumerate(state_stack):
+        assert hs.shape == (T, B, H, WP * hid[li]), (li, hs.shape)
+        assert cs.shape == (T, B, H, WP * hid[li]), (li, cs.shape)
